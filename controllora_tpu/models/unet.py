@@ -1,0 +1,482 @@
+"""SD1.5 UNet2DConditionModel rebuilt natively in JAX/flax for TPU.
+
+Capability-parity target: diffusers' UNet2DConditionModel as consumed by the reference
+(reference train_text_to_image_control_lora.py:407-409, :782). This is a fresh NHWC
+implementation — not a translation:
+
+  * NHWC layout end-to-end (TPU conv-native; torch reference is NCHW),
+  * computation dtype configurable (bf16 frozen stack), GroupNorm/LayerNorm/softmax in fp32,
+  * attention adapters (LoRA / ControlLoRA v1 / v2) are *threaded* through the forward as an
+    ``adapters`` dict keyed by diffusers-style processor names, replacing the reference's
+    stateful `unet.set_attn_processor` installation
+    (reference train_text_to_image_control_lora.py:468-487),
+  * pure function of (params, latents, t, text_ctx, adapters) — `jax.grad` w.r.t. the
+    adapter pytree alone gives the frozen-backbone training economics for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from controllora_tpu.models.lora import (
+    AdapterStack,
+    adapt_hidden_post_attn,
+    adapt_hidden_pre_q,
+    adapt_key,
+    adapt_output,
+    adapt_query,
+    adapt_value,
+)
+from controllora_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SD1.5 architecture (runwayml/stable-diffusion-v1-5 unet/config.json)."""
+
+    sample_size: int = 64
+    in_channels: int = 4
+    out_channels: int = 4
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    )
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    attention_head_dim: int = 8  # number of heads (diffusers naming quirk)
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+
+
+# ---------------------------------------------------------------------------- helpers
+
+
+def timestep_embedding(
+    t: jnp.ndarray, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding semantics)."""
+    half = dim // 2
+    exponent = -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent)[None, :] * t.astype(jnp.float32)[:, None]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    return emb
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm computed in fp32 and cast back (bf16-safe)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(
+            epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32, name="norm"
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+def conv3(features: int, dtype, name: str, stride: int = 1):
+    return nn.Conv(
+        features,
+        (3, 3),
+        strides=(stride, stride),
+        padding=((1, 1), (1, 1)),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def conv1(features: int, dtype, name: str):
+    return nn.Conv(
+        features, (1, 1), dtype=dtype, param_dtype=jnp.float32, name=name
+    )
+
+
+def dense(features: int, dtype, name: str, use_bias: bool = True):
+    return nn.Dense(
+        features, use_bias=use_bias, dtype=dtype, param_dtype=jnp.float32, name=name
+    )
+
+
+# ---------------------------------------------------------------------------- blocks
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    use_shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = GroupNorm(self.groups, self.eps, self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = conv3(self.out_channels, self.dtype, "conv1")(h)
+        if temb is not None:
+            t = dense(self.out_channels, self.dtype, "time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, self.eps, self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = conv3(self.out_channels, self.dtype, "conv2")(h)
+        if self.use_shortcut:
+            x = conv1(self.out_channels, self.dtype, "conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv3(self.out_channels, self.dtype, "conv", stride=2)(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return conv3(self.out_channels, self.dtype, "conv")(x)
+
+
+class CrossAttention(nn.Module):
+    """One attention layer with the full adapter-chain fold.
+
+    Mirrors diffusers CrossAttention + the reference processors' semantics
+    (reference models.py:118-152 plain LoRA; :222-287 v1; :357-431 v2).
+    """
+
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None
+    out_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, ctx=None, stack: Optional[AdapterStack] = None, lora_scale=1.0):
+        inner = self.heads * self.dim_head
+        if stack is not None:
+            # v2 control residual on (normed) hidden states before q-projection
+            hidden = adapt_hidden_pre_q(stack, hidden, lora_scale)
+
+        q = dense(inner, self.dtype, "to_q", use_bias=False)(hidden)
+        if stack is not None:
+            q = adapt_query(stack, q, hidden, lora_scale)
+
+        ctx_in = hidden if ctx is None else ctx
+        k = dense(inner, self.dtype, "to_k", use_bias=False)(ctx_in)
+        v = dense(inner, self.dtype, "to_v", use_bias=False)(ctx_in)
+        if stack is not None:
+            k = adapt_key(stack, k, ctx_in, lora_scale)
+            v = adapt_value(stack, v, ctx_in, lora_scale)
+
+        attn = dot_product_attention(q, k, v, self.heads)
+
+        if stack is not None:
+            attn = adapt_hidden_post_attn(stack, attn, lora_scale)
+        out = dense(inner, self.dtype, "to_out_0", use_bias=self.out_bias)(attn)
+        if stack is not None:
+            out = adapt_output(stack, out, attn, lora_scale)
+        return out
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers FeedForward with geglu activation)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        proj = dense(inner * 2, self.dtype, "net_0_proj")(x)
+        a, gate = jnp.split(proj, 2, axis=-1)
+        # gelu in fp32 for bf16 safety
+        h = a * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(a.dtype)
+        return dense(self.dim, self.dtype, "net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+    proc_prefix: str = ""  # e.g. "down_blocks.0.attentions.0.transformer_blocks.0"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, adapters=None, lora_scale=1.0):
+        def stack_for(attn_name):
+            if not adapters:
+                return None
+            return adapters.get(f"{self.proc_prefix}.{attn_name}.processor")
+
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(
+            self.heads, self.dim_head, None, dtype=self.dtype, name="attn1"
+        )(h, None, stack_for("attn1"), lora_scale)
+
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(
+            self.heads,
+            self.dim_head,
+            self.cross_attention_dim,
+            dtype=self.dtype,
+            name="attn2",
+        )(h, ctx, stack_for("attn2"), lora_scale)
+
+        h = LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2DModel(nn.Module):
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+    depth: int = 1
+    groups: int = 32
+    proc_prefix: str = ""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, adapters=None, lora_scale=1.0):
+        b, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        x = GroupNorm(self.groups, 1e-6, self.dtype, name="norm")(x)
+        x = conv1(inner, self.dtype, "proj_in")(x)
+        x = x.reshape(b, hh * ww, inner)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                inner,
+                self.heads,
+                self.dim_head,
+                self.cross_attention_dim,
+                proc_prefix=f"{self.proc_prefix}.transformer_blocks.{i}",
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(x, ctx, adapters, lora_scale)
+        x = x.reshape(b, hh, ww, inner)
+        x = conv1(c, self.dtype, "proj_out")(x)
+        return x + residual
+
+
+# ---------------------------------------------------------------------------- UNet
+
+
+class UNet2DConditionModel(nn.Module):
+    config: UNetConfig = UNetConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B, H, W, 4) latents, NHWC
+        timesteps: jnp.ndarray,  # (B,) or scalar
+        encoder_hidden_states: jnp.ndarray,  # (B, 77, 768)
+        adapters: Optional[Dict[str, AdapterStack]] = None,
+        lora_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        heads = cfg.attention_head_dim
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # time embedding
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        ).astype(self.dtype)
+        time_embed_dim = cfg.block_out_channels[0] * 4
+        temb = dense(time_embed_dim, self.dtype, "time_embedding_linear_1")(t_emb)
+        temb = dense(time_embed_dim, self.dtype, "time_embedding_linear_2")(nn.silu(temb))
+
+        ctx = encoder_hidden_states.astype(self.dtype)
+        sample = sample.astype(self.dtype)
+
+        h = conv3(cfg.block_out_channels[0], self.dtype, "conv_in")(sample)
+
+        # ---- down
+        res_stack: List[jnp.ndarray] = [h]
+        out_ch = cfg.block_out_channels[0]
+        for bi, btype in enumerate(cfg.down_block_types):
+            in_ch, out_ch = out_ch, cfg.block_out_channels[bi]
+            is_final = bi == len(cfg.down_block_types) - 1
+            for li in range(cfg.layers_per_block):
+                h = ResnetBlock2D(
+                    out_ch,
+                    cfg.norm_num_groups,
+                    cfg.norm_eps,
+                    use_shortcut=(in_ch if li == 0 else out_ch) != out_ch,
+                    dtype=self.dtype,
+                    name=f"down_blocks_{bi}_resnets_{li}",
+                )(h, temb)
+                if btype == "CrossAttnDownBlock2D":
+                    h = Transformer2DModel(
+                        heads,
+                        out_ch // heads,
+                        cfg.cross_attention_dim,
+                        groups=cfg.norm_num_groups,
+                        proc_prefix=f"down_blocks.{bi}.attentions.{li}",
+                        dtype=self.dtype,
+                        name=f"down_blocks_{bi}_attentions_{li}",
+                    )(h, ctx, adapters, lora_scale)
+                res_stack.append(h)
+            if not is_final:
+                h = Downsample2D(out_ch, self.dtype, name=f"down_blocks_{bi}_downsample")(h)
+                res_stack.append(h)
+
+        # ---- mid
+        mid_ch = cfg.block_out_channels[-1]
+        h = ResnetBlock2D(
+            mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnets_0"
+        )(h, temb)
+        h = Transformer2DModel(
+            heads,
+            mid_ch // heads,
+            cfg.cross_attention_dim,
+            groups=cfg.norm_num_groups,
+            proc_prefix="mid_block.attentions.0",
+            dtype=self.dtype,
+            name="mid_attentions_0",
+        )(h, ctx, adapters, lora_scale)
+        h = ResnetBlock2D(
+            mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnets_1"
+        )(h, temb)
+
+        # ---- up
+        rev_channels = list(reversed(cfg.block_out_channels))
+        for bi, btype in enumerate(cfg.up_block_types):
+            out_ch = rev_channels[bi]
+            is_final = bi == len(cfg.up_block_types) - 1
+            for li in range(cfg.layers_per_block + 1):
+                res = res_stack.pop()
+                cat_ch = h.shape[-1] + res.shape[-1]
+                h = jnp.concatenate([h, res], axis=-1)
+                h = ResnetBlock2D(
+                    out_ch,
+                    cfg.norm_num_groups,
+                    cfg.norm_eps,
+                    use_shortcut=cat_ch != out_ch,
+                    dtype=self.dtype,
+                    name=f"up_blocks_{bi}_resnets_{li}",
+                )(h, temb)
+                if btype == "CrossAttnUpBlock2D":
+                    h = Transformer2DModel(
+                        heads,
+                        out_ch // heads,
+                        cfg.cross_attention_dim,
+                        groups=cfg.norm_num_groups,
+                        proc_prefix=f"up_blocks.{bi}.attentions.{li}",
+                        dtype=self.dtype,
+                        name=f"up_blocks_{bi}_attentions_{li}",
+                    )(h, ctx, adapters, lora_scale)
+            if not is_final:
+                h = Upsample2D(out_ch, self.dtype, name=f"up_blocks_{bi}_upsample")(h)
+
+        h = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, self.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = conv3(cfg.out_channels, self.dtype, "conv_out")(h)
+        return h.astype(jnp.float32)
+
+
+# ------------------------------------------------------------------ processor inventory
+
+
+def attention_processor_names(config: UNetConfig = UNetConfig()) -> List[str]:
+    """Diffusers-style processor names in `unet.attn_processors` enumeration order
+    (down blocks, mid, up blocks; attn1 then attn2 per transformer block). This is the
+    order the reference iterates when installing ControlLoRA layers
+    (reference train_text_to_image_control_lora.py:471-487)."""
+    names = []
+    for bi, btype in enumerate(config.down_block_types):
+        if btype == "CrossAttnDownBlock2D":
+            for li in range(config.layers_per_block):
+                for a in ("attn1", "attn2"):
+                    names.append(
+                        f"down_blocks.{bi}.attentions.{li}.transformer_blocks.0.{a}.processor"
+                    )
+    for a in ("attn1", "attn2"):
+        names.append(f"mid_block.attentions.0.transformer_blocks.0.{a}.processor")
+    for bi, btype in enumerate(config.up_block_types):
+        if btype == "CrossAttnUpBlock2D":
+            for li in range(config.layers_per_block + 1):
+                for a in ("attn1", "attn2"):
+                    names.append(
+                        f"up_blocks.{bi}.attentions.{li}.transformer_blocks.0.{a}.processor"
+                    )
+    return names
+
+
+def processor_bucket(name: str, n_blocks: int) -> int:
+    """Resolution-bucket (control_id) assignment for a processor name
+    (reference train_text_to_image_control_lora.py:412-424)."""
+    if name.startswith("mid_block"):
+        return n_blocks - 1
+    if name.startswith("up_blocks"):
+        block_id = int(name[len("up_blocks.")].split(".")[0])
+        return list(reversed(range(n_blocks)))[block_id]
+    if name.startswith("down_blocks"):
+        return int(name[len("down_blocks.")].split(".")[0])
+    raise ValueError(name)
+
+
+def processor_hidden_size(name: str, config: UNetConfig = UNetConfig()) -> int:
+    """Channel width (attention hidden size) at a processor's location."""
+    if name.startswith("mid_block"):
+        return config.block_out_channels[-1]
+    if name.startswith("down_blocks"):
+        bi = int(name[len("down_blocks.")].split(".")[0])
+        return config.block_out_channels[bi]
+    bi = int(name[len("up_blocks.")].split(".")[0])
+    return list(reversed(config.block_out_channels))[bi]
+
+
+def processor_cross_dim(name: str, config: UNetConfig = UNetConfig()) -> Optional[int]:
+    return None if ".attn1." in name else config.cross_attention_dim

@@ -1,0 +1,68 @@
+"""Multi-head attention primitive for the SD1.5 stack.
+
+The reference runs diffusers' CrossAttention with torch bmm + softmax (or optional
+xformers, reference train_text_to_image_control_lora.py:449-453). TPU-native design:
+
+  * default path: one fused einsum chain with fp32 logits/softmax accumulation — XLA maps
+    the two batched matmuls onto the MXU and fuses the softmax into the pipeline;
+  * optional Pallas flash-attention path (`backend="flash"`) for long spatial sequences
+    (4096 tokens at 512², more at higher resolutions), blockwise online-softmax so the
+    L×L score matrix never materializes in HBM.
+
+Head dims in SD1.5 are 40/80/160 (8 heads over 320/640/1280 channels) — the flash kernel
+pads head_dim to the 128-lane boundary inside VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """(B, L, H*D) -> (B, heads, L, D)."""
+    b, l, hd = x.shape
+    return x.reshape(b, l, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, heads, L, D) -> (B, L, H*D)."""
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def dot_product_attention(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    backend: str = "xla",
+) -> jnp.ndarray:
+    """Attention over (B, L, inner) projections; returns (B, Lq, inner).
+
+    Logits and softmax accumulate in fp32 regardless of input dtype (bf16-safe).
+    """
+    q = split_heads(query, heads)
+    k = split_heads(key, heads)
+    v = split_heads(value, heads)
+    scale = q.shape[-1] ** -0.5
+
+    if backend == "flash":
+        from controllora_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, scale=scale)
+        return merge_heads(out.astype(query.dtype))
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return merge_heads(out.astype(query.dtype))
