@@ -1,0 +1,77 @@
+"""Dataset registry mirroring the reference's process/ layer (reference process/base.py).
+
+`DatasetBase.from_name("process/<name>")` resolves registered dataset classes; datasets
+yield dicts with NHWC float arrays in [-1, 1]:
+  {"pixel_values": (H,W,3), "guide_values": (H,W,3), "input_ids": (77,) int32}
+plus `control_channel()` and the 3-panel `cat_input` montage (target | guide | sample)
+used by eval scripts (reference process/base.py:23-38).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Type
+
+import numpy as np
+
+
+class DatasetBase:
+    _registry: Dict[str, Type["DatasetBase"]] = {}
+
+    # subclasses set this
+    name: str = ""
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        if cls.name:
+            DatasetBase._registry[f"process/{cls.name}"] = cls
+
+    @classmethod
+    def from_name(cls, name: str) -> Type["DatasetBase"]:
+        if name not in cls._registry:
+            raise KeyError(f"unknown dataset {name!r}; known: {sorted(cls._registry)}")
+        return cls._registry[name]
+
+    # ------------------------------------------------------------------ API
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def control_channel(self) -> int:
+        return 3
+
+    @staticmethod
+    def cat_input(
+        target: np.ndarray, guide: np.ndarray, sample: np.ndarray
+    ) -> np.ndarray:
+        """3-panel uint8 montage target|guide|sample from [-1,1] HWC arrays."""
+        def to_u8(x):
+            return np.clip((np.asarray(x) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+        return np.concatenate([to_u8(target), to_u8(guide), to_u8(sample)], axis=1)
+
+
+def batch_iterator(
+    dataset: DatasetBase,
+    batch_size: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    epochs: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Host-side batcher: yields stacked numpy batches forever (or for `epochs`)."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
+            idx = order[s : s + batch_size]
+            items = [dataset[int(i)] for i in idx]
+            yield {
+                k: np.stack([it[k] for it in items]).astype(items[0][k].dtype)
+                for k in items[0]
+            }
+        epoch += 1

@@ -200,6 +200,11 @@ class ControlLoRA:
     # ------------------------------------------------------------------ params
 
     def init(self, rng: jax.Array, image_size: int = 512) -> Dict[str, Any]:
+        """Jitted init — one compiled program instead of hundreds of small dispatches
+        (critical under remote-dispatch TPU runtimes where each op is a round-trip)."""
+        return jax.jit(self._init_impl, static_argnums=(1,))(rng, image_size)
+
+    def _init_impl(self, rng: jax.Array, image_size: int) -> Dict[str, Any]:
         cfg = self.config
         enc_rng, *bucket_rngs = jax.random.split(rng, 1 + cfg.num_buckets)
         enc_params = self.encoder.init(

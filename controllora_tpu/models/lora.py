@@ -236,6 +236,35 @@ def adapt_output(stack: AdapterStack, out: jnp.ndarray, attn_hidden: jnp.ndarray
     return out
 
 
+# ---------------------------------------------------------------------------- plain LoRA sets
+
+
+def make_plain_lora_adapters(
+    rng: jax.Array,
+    rank: int = 4,
+    unet_config=None,
+    post_add: bool = False,
+) -> Dict[str, "AttnAdapter"]:
+    """One plain LoRA adapter per UNet attention layer — the DreamBooth-LoRA model
+    (reference train_dreambooth_lora.py:706-722: a LoRACrossAttnProcessor per
+    `unet.attn_processors` entry, rank = --lora_rank). Returns {processor_name:
+    AttnAdapter} for direct threading or merging via pipelines.merge_extra_loras."""
+    from controllora_tpu.models import unet as unet_lib
+
+    cfg = unet_config or unet_lib.UNetConfig()
+    names = unet_lib.attention_processor_names(cfg)
+    spec = AdapterSpec(kind="lora", post_add=post_add)
+    out: Dict[str, AttnAdapter] = {}
+    rngs = jax.random.split(rng, len(names))
+    for r, name in zip(rngs, names):
+        hidden = unet_lib.processor_hidden_size(name, cfg)
+        cross = unet_lib.processor_cross_dim(name, cfg)
+        out[name] = AttnAdapter(
+            params=init_adapter_params(r, hidden, cross, rank, spec), spec=spec
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------- init
 
 

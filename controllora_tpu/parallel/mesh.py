@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is data-parallel DDP via accelerate (reference
+train_text_to_image_control_lora.py:683-685; SURVEY.md §2.4). TPU-native equivalent:
+a `jax.sharding.Mesh` with the batch sharded over the 'data' axis and parameters
+replicated — XLA inserts the gradient all-reduce (psum over ICI) automatically from the
+jit output shardings. A 'model' axis is provisioned for optional tensor parallelism of
+the frozen UNet (not required for parity: 7M trainable / 860M frozen fits one chip).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Tuple[str, ...] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a mesh over all (or the given) devices. Default: 1-D data-parallel."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch pytree with the leading dim sharded over the data axis."""
+    def put(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_spec(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_spec(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,179 @@
+"""Guided text-to-image sampling pipeline.
+
+Capability-parity target: the reference's inference paths —
+`StableDiffusionPipeline` + installed ControlLoRA processors driven by the gradio apps
+(reference apps/gradio_canny2image.py:66-92, SURVEY.md §3.2) and the eval scripts
+(test_text_to_image_control_lora.py:772-789, DPMSolver++ 30 steps).
+
+TPU-native shape: one jitted `lax.scan` over the denoising steps — CLIP encode (cond +
+uncond), CFG-batched UNet with the control adapters threaded in, scheduler update —
+followed by a jitted VAE decode. The reference's per-sample stateful re-injection
+(apps:84) disappears: control states are explicit scan constants.
+
+CFG convention matches the reference: latent batch is [uncond ‖ cond]; a batch-1 control
+broadcasts (or repeat-interleaves under concat_hidden, reference models.py:209-212).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controllora_tpu.models.clip import CLIPTextModel
+from controllora_tpu.models.control_lora import ControlLoRA
+from controllora_tpu.models.lora import AdapterStack, AttnAdapter
+from controllora_tpu.models.unet import UNet2DConditionModel
+from controllora_tpu.models.vae import AutoencoderKL
+from controllora_tpu.schedulers import DiffusionSchedule, DPMSolverMultistepScheduler
+
+
+def merge_extra_loras(
+    stacks: Dict[str, AdapterStack],
+    extra: Dict[str, AttnAdapter],
+    where: str = "pre",
+) -> Dict[str, AdapterStack]:
+    """Compose plain LoRA adapters with installed ControlLoRA stacks — the
+    mix_lora_and_control_lora path (reference mix_lora_and_control_lora.py:114-121:
+    DreamBooth LoRAs become pre_loras/post_loras of each control processor)."""
+    out = dict(stacks)
+    for name, adapter in extra.items():
+        stack = out.get(name)
+        if stack is None:
+            stack = AdapterStack(main=adapter)
+        elif where == "pre":
+            stack = stack.replace(pre=stack.pre + (adapter,))
+        else:
+            stack = stack.replace(post=stack.post + (adapter,))
+        out[name] = stack
+    return out
+
+
+class StableDiffusionControlLoRAPipeline:
+    def __init__(
+        self,
+        unet: UNet2DConditionModel,
+        vae: AutoencoderKL,
+        text_encoder: CLIPTextModel,
+        tokenizer,
+        frozen: Dict[str, Any],
+        control_lora: Optional[ControlLoRA] = None,
+        control_params: Optional[Any] = None,
+        scheduler: Optional[DPMSolverMultistepScheduler] = None,
+    ):
+        self.unet = unet
+        self.vae = vae
+        self.text_encoder = text_encoder
+        self.tokenizer = tokenizer
+        self.frozen = frozen
+        self.control_lora = control_lora
+        self.control_params = control_params
+        self.scheduler = scheduler or DPMSolverMultistepScheduler()
+        self._sample_cache: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------ text
+
+    def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
+        """-> (2, 77, hidden): [uncond ‖ cond] context for CFG."""
+        ids = self.tokenizer([negative_prompt, prompt])
+        return self.text_encoder.apply(
+            {"params": self.frozen["text"]}, jnp.asarray(ids)
+        )
+
+    # ------------------------------------------------------------------ sampling core
+
+    def _build_sampler(self, num_inference_steps: int, latent_hw: Tuple[int, int],
+                       use_control: bool):
+        key = (num_inference_steps, latent_hw, use_control)
+        if key in self._sample_cache:
+            return self._sample_cache[key]
+
+        sch = self.scheduler
+        tables = sch.tables(num_inference_steps)
+        ts = tables[0]
+
+        def sample_fn(latents, ctx, adapters, guidance_scale, lora_scale):
+            state = sch.init_state(latents)
+
+            def body(state, i):
+                lat2 = jnp.concatenate([state.sample, state.sample], axis=0)
+                t = jnp.broadcast_to(ts[i], (lat2.shape[0],))
+                eps = self.unet.apply(
+                    {"params": self.frozen["unet"]}, lat2, t, ctx, adapters, lora_scale
+                )
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+                return sch.step(state, eps_g, i, num_inference_steps, tables), None
+
+            state, _ = jax.lax.scan(body, state, jnp.arange(num_inference_steps))
+            image = self.vae.apply(
+                {"params": self.frozen["vae"]}, state.sample, method=self.vae.decode
+            )
+            return image
+
+        fn = jax.jit(sample_fn)
+        self._sample_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------ call
+
+    def __call__(
+        self,
+        prompt: str,
+        guide: Optional[np.ndarray] = None,  # (H, W, 3) in [-1, 1]
+        negative_prompt: str = "",
+        num_inference_steps: int = 20,
+        guidance_scale: float = 9.0,
+        num_images: int = 1,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        lora_scale: float = 1.0,
+        extra_loras: Optional[Dict[str, AttnAdapter]] = None,
+        extra_loras_where: str = "pre",
+        latents: Optional[jnp.ndarray] = None,
+        return_array: bool = False,
+    ):
+        """Returns a list of HWC uint8 images (or float arrays in [-1,1])."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if guide is not None:
+            guide = jnp.asarray(guide)[None] if guide.ndim == 3 else jnp.asarray(guide)
+            height = height or guide.shape[1]
+            width = width or guide.shape[2]
+        height = height or 512
+        width = width or 512
+        lh, lw = height // 8, width // 8
+
+        ctx = self.encode_prompt(prompt, negative_prompt)
+
+        adapters = None
+        if guide is not None and self.control_lora is not None:
+            adapters = self.control_lora(
+                self.control_params, guide, self.unet.config
+            )
+        if extra_loras:
+            adapters = merge_extra_loras(adapters or {}, extra_loras, extra_loras_where)
+
+        sampler = self._build_sampler(num_inference_steps, (lh, lw), adapters is not None)
+
+        images = []
+        for i in range(num_images):
+            if latents is not None:
+                lat0 = latents
+            else:
+                rng, k = jax.random.split(rng)
+                lat0 = jax.random.normal(k, (1, lh, lw, self.unet.config.in_channels),
+                                         jnp.float32)
+            img = sampler(lat0, ctx, adapters, jnp.float32(guidance_scale),
+                          jnp.float32(lora_scale))
+            img = np.asarray(jax.device_get(img[0]), np.float32)
+            if return_array:
+                images.append(img)
+            else:
+                images.append(
+                    np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                )
+        return images

@@ -44,7 +44,10 @@ def save_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
     else:
         import torch
 
-        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in sd.items()},
+            path,
+        )
 
 
 # ---------------------------------------------------------------------------- helpers
@@ -505,6 +508,33 @@ def flax_to_torch_clip(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     sd["text_model.final_layer_norm.weight"] = np.asarray(params["final_layer_norm"]["scale"])
     sd["text_model.final_layer_norm.bias"] = np.asarray(params["final_layer_norm"]["bias"])
     return sd
+
+
+def attn_procs_to_torch(adapters: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Export {processor_name: AttnAdapter} to diffusers `unet.save_attn_procs` naming
+    ('<proc_name>.to_q_lora.down.weight', reference train_dreambooth_lora.py:987-994)."""
+    sd: Dict[str, np.ndarray] = {}
+    inv = {v: k for k, v in _LORA_PROJ.items()}
+    for name, adapter in adapters.items():
+        params = adapter.params if hasattr(adapter, "params") else adapter
+        for proj, pair in params.items():
+            sd[f"{name}.{inv[proj]}.down.weight"] = np.asarray(pair["down"]).T
+            sd[f"{name}.{inv[proj]}.up.weight"] = np.asarray(pair["up"]).T
+    return sd
+
+
+def attn_procs_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Dict[str, Any]]:
+    """Import a diffusers attn-procs LoRA state dict -> {processor_name: params tree}
+    (the `unet.load_attn_procs` path, reference train_dreambooth_lora.py:1005)."""
+    out: Dict[str, Dict[str, Any]] = {}
+    for key, w in sd.items():
+        m = re.fullmatch(r"(.+\.processor)\.(\w+)\.(down|up)\.weight", key)
+        if not m:
+            raise KeyError(f"unrecognized attn-procs key: {key}")
+        name, proj_t, which = m.groups()
+        proj = _LORA_PROJ[proj_t]
+        out.setdefault(name, {}).setdefault(proj, {})[which] = np.asarray(w).T
+    return out
 
 
 def control_lora_to_torch(

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Guided-sampling eval CLI — the reference's test_text_to_image_control_lora.py
+equivalent: load a trained ControlLoRA, render N guided samples from a dataset as
+3-panel montages (target | guide | sample) under samples/<run>/ (reference
+test_text_to_image_control_lora.py:772-789, process/base.py:27-38).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
+    p.add_argument("--model_variant", type=str, default="sd15", choices=["sd15", "smoke"])
+    p.add_argument("--control_lora_dir", type=str, required=True,
+                   help="directory with config.json + diffusion_pytorch_model.safetensors")
+    p.add_argument("--dataset_name", type=str, default="process/fill50k")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--num_validation_images", type=int, default=4)
+    p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--guidance_scale", type=float, default=9.0)
+    p.add_argument("--output_dir", type=str, default="samples/run")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from controllora_tpu.data.registry import DatasetBase
+    from controllora_tpu.data.tokenizer import default_tokenizer
+    from controllora_tpu.models import zoo
+    from controllora_tpu.models.control_lora import ControlLoRA
+    from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
+    from controllora_tpu.training.checkpoint import load_control_lora
+
+    dtype = jnp.bfloat16 if args.model_variant == "sd15" else jnp.float32
+    unet, vae, text_encoder = zoo.build_models(args.model_variant, dtype=dtype)
+    rng = jax.random.PRNGKey(args.seed)
+    if args.pretrained_model_name_or_path:
+        frozen = zoo.load_frozen(args.pretrained_model_name_or_path, param_dtype=dtype)
+    else:
+        frozen = zoo.random_frozen(rng, unet, vae, text_encoder,
+                                   latent_size=args.resolution // 8, param_dtype=dtype)
+        print("WARNING: random frozen stack (no pretrained weights)")
+
+    control_params, ccfg = load_control_lora(args.control_lora_dir)
+    if args.model_variant == "smoke" and ccfg.lora_block_out_channels != unet.config.block_out_channels:
+        raise SystemExit("checkpoint was not trained against the smoke UNet")
+    tokenizer = default_tokenizer()
+    pipe = StableDiffusionControlLoRAPipeline(
+        unet, vae, text_encoder, tokenizer, frozen,
+        ControlLoRA(ccfg), control_params,
+    )
+
+    ds_cls = DatasetBase.from_name(args.dataset_name)
+    dataset = ds_cls(tokenizer, resolution=args.resolution)
+    os.makedirs(args.output_dir, exist_ok=True)
+    sample_rng = jax.random.PRNGKey(args.seed)
+
+    for i in range(args.num_validation_images):
+        item = dataset[i]
+        caption = f"sample {i}"
+        sample_rng, k = jax.random.split(sample_rng)
+        img = pipe(
+            caption,
+            guide=item["guide_values"].astype(np.float32),
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            rng=k,
+            return_array=True,
+        )[0]
+        montage = DatasetBase.cat_input(item["pixel_values"], item["guide_values"], img)
+        Image.fromarray(montage).save(os.path.join(args.output_dir, f"{i}.png"))
+        print(f"wrote {args.output_dir}/{i}.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""ControlLoRA trainer CLI.
+
+TPU-native rebuild of the reference trainer entry point
+(reference train_text_to_image_control_lora.py, see SURVEY.md §3.1). Flag names follow
+the reference CLI where the concept carries over; `accelerate launch` is replaced by the
+jax runtime (single process drives all local devices through the mesh; multi-host via
+`jax.distributed.initialize` when JAX_COORDINATOR_ADDRESS is set).
+
+Hermetic smoke run (no pretrained weights needed):
+    python scripts/train.py --model_variant smoke --dataset_name process/fill50k \
+        --resolution 64 --train_batch_size 2 --max_train_steps 10 --output_dir /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # model
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None,
+                   help="local diffusers-layout dir with unet/vae/text_encoder weights")
+    p.add_argument("--model_variant", type=str, default="sd15", choices=["sd15", "smoke"])
+    p.add_argument("--control_lora_config", type=str, default="base",
+                   help="preset name or reference-format JSON path")
+    p.add_argument("--mixed_precision", type=str, default="bf16",
+                   choices=["no", "bf16"],
+                   help="compute/frozen-weight dtype (adapters always fp32)")
+    p.add_argument("--prediction_type", type=str, default=None)
+    p.add_argument("--snr_gamma", type=float, default=None)
+    # data
+    p.add_argument("--dataset_name", type=str, default="process/fill50k")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--max_train_samples", type=int, default=None)
+    # optimization (reference defaults: train:188, 209-255)
+    p.add_argument("--train_batch_size", type=int, default=16, help="per-device")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=30_000)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable UNet rematerialization (more HBM, fewer FLOPs)")
+    # bookkeeping
+    p.add_argument("--output_dir", type=str, default="control-lora-model")
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--validation_steps", type=int, default=0,
+                   help="sample a validation image every N steps (0 = off)")
+    p.add_argument("--validation_prompt", type=str, default=None)
+    p.add_argument("--report_to", type=str, default="jsonl")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log_every", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from controllora_tpu.config import load_config
+    from controllora_tpu.data.registry import DatasetBase, batch_iterator
+    from controllora_tpu.data.tokenizer import default_tokenizer
+    from controllora_tpu.models.control_lora import ControlLoRA
+    from controllora_tpu.models import zoo
+    from controllora_tpu.parallel import make_mesh, replicate, shard_batch
+    from controllora_tpu.training.checkpoint import (
+        restore_train_state,
+        save_control_lora,
+        save_train_state,
+    )
+    from controllora_tpu.training.trainer import ControlLoRATrainer, make_optimizer
+    from controllora_tpu.utils.logging import MetricsLogger
+
+    dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+    devices = jax.devices()
+    n_dev = len(devices)
+    mesh = make_mesh() if n_dev > 1 else None
+    print(f"devices: {n_dev} ({devices[0].platform}), mesh={'data' if mesh else None}")
+
+    # ---- models
+    unet, vae, text_encoder = zoo.build_models(args.model_variant, dtype=dtype)
+    rng = jax.random.PRNGKey(args.seed)
+    if args.pretrained_model_name_or_path:
+        frozen = zoo.load_frozen(args.pretrained_model_name_or_path, param_dtype=dtype)
+    else:
+        latent = args.resolution // 8
+        frozen = zoo.random_frozen(rng, unet, vae, text_encoder, latent_size=latent,
+                                   param_dtype=dtype)
+        print("WARNING: no --pretrained_model_name_or_path; frozen stack is random "
+              "(hermetic smoke mode)")
+
+    ccfg = load_config(args.control_lora_config)
+    if args.model_variant == "smoke":
+        from controllora_tpu.config import ControlLoRAConfig
+
+        ccfg = ControlLoRAConfig(
+            block_out_channels=(8, 16, 16, 32),
+            lora_block_in_channels=(32, 32, 32, 32),
+            lora_block_out_channels=unet.config.block_out_channels,
+            lora_cross_attention_dims=(
+                (None, 768, None, 768),
+                (None, 768, None, 768),
+                (None, 768, None, 768),
+                (None, 768),
+            ),
+            lora_control_version=ccfg.lora_control_version,
+        )
+    control_lora = ControlLoRA(ccfg)
+
+    lr = args.learning_rate
+    if args.scale_lr:
+        lr = lr * args.gradient_accumulation_steps * args.train_batch_size * n_dev
+    optimizer = make_optimizer(
+        learning_rate=lr,
+        beta1=args.adam_beta1,
+        beta2=args.adam_beta2,
+        weight_decay=args.adam_weight_decay,
+        eps=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        lr_schedule=args.lr_scheduler,
+        warmup_steps=args.lr_warmup_steps,
+        total_steps=args.max_train_steps,
+        grad_accumulation_steps=args.gradient_accumulation_steps,
+    )
+    trainer = ControlLoRATrainer(
+        control_lora=control_lora,
+        unet=unet,
+        frozen=frozen,
+        vae=vae,
+        text_encoder=text_encoder,
+        optimizer=optimizer,
+        mesh=mesh,
+        prediction_type=args.prediction_type,
+        snr_gamma=args.snr_gamma,
+        remat_unet=not args.no_remat,
+    )
+
+    # ---- data
+    tokenizer = default_tokenizer()
+    ds_cls = DatasetBase.from_name(args.dataset_name)
+    dataset = ds_cls(tokenizer, resolution=args.resolution)
+    if args.max_train_samples:
+        dataset.size = min(len(dataset), args.max_train_samples)
+    global_batch = args.train_batch_size * n_dev
+    batches = batch_iterator(dataset, global_batch, seed=args.seed)
+
+    # ---- state (+ resume)
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), image_size=args.resolution)
+    start_step = 0
+    if args.resume_from_checkpoint:
+        where = (args.output_dir if args.resume_from_checkpoint == "latest"
+                 else args.resume_from_checkpoint)
+        restored, at = restore_train_state(where, state, step="latest")
+        if restored is not None:
+            state, start_step = restored, at
+            print(f"resumed from step {at}")
+        else:
+            print("no checkpoint found; starting fresh")
+
+    if mesh is not None:
+        state = replicate(state, mesh)
+        trainer.frozen = replicate(trainer.frozen, mesh)
+
+    train_step = trainer.make_train_step()
+    logger = MetricsLogger(args.output_dir, args.report_to)
+    run_key = jax.random.PRNGKey(args.seed + 1)
+
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"ControlLoRA params: {n_params/1e6:.2f}M | global batch {global_batch} | lr {lr}")
+
+    t_last = time.time()
+    for step in range(start_step, args.max_train_steps):
+        batch = next(batches)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        step_rng = jax.random.fold_in(run_key, step)
+        if mesh is not None:
+            step_rng = replicate(step_rng, mesh)
+        state, metrics = train_step(state, batch, step_rng)
+
+        if (step + 1) % args.log_every == 0:
+            loss = float(metrics["loss"])
+            dt = (time.time() - t_last) / args.log_every
+            t_last = time.time()
+            logger.log(step + 1, {
+                "train_loss": loss,
+                "grad_norm": float(metrics["grad_norm"]),
+                "steps_per_sec": 1.0 / max(dt, 1e-9),
+                "imgs_per_sec": global_batch / max(dt, 1e-9),
+            })
+            print(f"step {step+1}: loss={loss:.4f} {1.0/max(dt,1e-9):.2f} steps/s")
+
+        if args.checkpointing_steps and (step + 1) % args.checkpointing_steps == 0:
+            save_train_state(args.output_dir, step + 1, jax.device_get(state),
+                             keep=args.checkpoints_total_limit)
+            print(f"saved checkpoint-{step+1}")
+
+    # final artifact (reference train:922-929)
+    save_control_lora(args.output_dir, jax.device_get(state).params, ccfg)
+    print(f"saved final ControlLoRA to {args.output_dir}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

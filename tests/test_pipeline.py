@@ -1,0 +1,118 @@
+"""Pipeline tests on the tiny stack: guided CFG sampling, determinism, LoRA mixing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllora_tpu.config import ControlLoRAConfig
+from controllora_tpu.data.tokenizer import HashTokenizer
+from controllora_tpu.models.control_lora import ControlLoRA
+from controllora_tpu.models.lora import make_plain_lora_adapters
+from controllora_tpu.models import zoo
+from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
+from controllora_tpu.pipelines.text_to_image import merge_extra_loras
+
+TINY_CONTROL = ControlLoRAConfig(
+    block_out_channels=(8, 16, 16, 32),
+    lora_block_in_channels=(32, 32, 32, 32),
+    lora_block_out_channels=(32, 64, 96, 96),
+    lora_cross_attention_dims=(
+        (None, 768, None, 768),
+        (None, 768, None, 768),
+        (None, 768, None, 768),
+        (None, 768),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    unet, vae, text = zoo.build_models("smoke", dtype=jnp.float32)
+    # smaller smoke text model hidden must match cross dim 768 — zoo.SMOKE_CLIP does
+    frozen = zoo.random_frozen(jax.random.PRNGKey(0), unet, vae, text, latent_size=8,
+                               param_dtype=jnp.float32)
+    cl = ControlLoRA(TINY_CONTROL)
+    cp = cl.init(jax.random.PRNGKey(1), image_size=64)
+    # activate adapters so control has visible effect
+    cp = jax.tree.map(lambda x: x + 0.01, cp)
+    return StableDiffusionControlLoRAPipeline(
+        unet, vae, text, HashTokenizer(), frozen, cl, cp
+    )
+
+
+def make_guide():
+    g = np.zeros((64, 64, 3), np.float32) - 1.0
+    g[20:40, 20:40] = 1.0
+    return g
+
+
+def test_guided_sampling_shapes_and_determinism(pipe):
+    imgs = pipe("red circle", guide=make_guide(), num_inference_steps=4,
+                rng=jax.random.PRNGKey(5))
+    assert len(imgs) == 1
+    assert imgs[0].shape == (64, 64, 3)
+    assert imgs[0].dtype == np.uint8
+    imgs2 = pipe("red circle", guide=make_guide(), num_inference_steps=4,
+                 rng=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(imgs[0], imgs2[0])
+    imgs3 = pipe("red circle", guide=make_guide(), num_inference_steps=4,
+                 rng=jax.random.PRNGKey(6))
+    assert np.abs(imgs3[0].astype(int) - imgs[0].astype(int)).max() > 0
+
+
+def test_guide_changes_output(pipe):
+    lat = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
+    a = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lat,
+             return_array=True)[0]
+    b = pipe("x", guide=-make_guide(), num_inference_steps=2, latents=lat,
+             return_array=True)[0]
+    assert np.abs(a - b).max() > 1e-5
+
+
+def test_cfg_scale_changes_output(pipe):
+    lat = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
+    a = pipe("x", guide=make_guide(), num_inference_steps=2, guidance_scale=1.0,
+             latents=lat, return_array=True)[0]
+    b = pipe("x", guide=make_guide(), num_inference_steps=2, guidance_scale=9.0,
+             latents=lat, return_array=True)[0]
+    assert np.abs(a - b).max() > 1e-5
+
+
+def test_unguided_text_to_image(pipe):
+    imgs = pipe("plain prompt", guide=None, num_inference_steps=2, height=64, width=64)
+    assert imgs[0].shape == (64, 64, 3)
+
+
+def test_mix_lora_composition(pipe):
+    """mix_lora_and_control_lora path: plain LoRAs as pre-adapters of control stacks."""
+    lat = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
+    base = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lat,
+                return_array=True)[0]
+
+    loras = make_plain_lora_adapters(jax.random.PRNGKey(9), rank=4,
+                                     unet_config=pipe.unet.config)
+    # fresh plain LoRAs are no-ops
+    same = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lat,
+                extra_loras=loras, return_array=True)[0]
+    np.testing.assert_allclose(base, same, atol=1e-5)
+
+    # activated LoRAs change the output
+    loras_active = {
+        k: v.replace(params=jax.tree.map(lambda x: x + 0.02, v.params))
+        for k, v in loras.items()
+    }
+    diff = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lat,
+                extra_loras=loras_active, return_array=True)[0]
+    assert np.abs(diff - base).max() > 1e-5
+
+
+def test_merge_extra_loras_structure():
+    loras = make_plain_lora_adapters(jax.random.PRNGKey(0), rank=2)
+    merged = merge_extra_loras({}, loras, "pre")
+    assert len(merged) == 32
+    name = next(iter(loras))
+    st = merged[name]
+    assert st.main is loras[name]
+    again = merge_extra_loras(merged, loras, "post")
+    assert len(again[name].post) == 1

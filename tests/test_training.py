@@ -1,0 +1,187 @@
+"""Training-engine tests: loss decreases on the synthetic fill50k workload; the train
+step compiles and runs sharded over an 8-device CPU mesh; checkpoint round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllora_tpu.config import ControlLoRAConfig
+from controllora_tpu.data import Fill50kSynthetic
+from controllora_tpu.data.registry import DatasetBase, batch_iterator
+from controllora_tpu.models.control_lora import ControlLoRA
+from controllora_tpu.models.unet import UNet2DConditionModel, UNetConfig
+from controllora_tpu.parallel import make_mesh, replicate, shard_batch
+from controllora_tpu.training.trainer import ControlLoRATrainer, TrainState, make_optimizer
+
+TINY_UNET = UNetConfig(
+    block_out_channels=(32, 64, 96, 96), layers_per_block=1, attention_head_dim=4
+)
+TINY_CONTROL = ControlLoRAConfig(
+    block_out_channels=(8, 16, 16, 32),
+    lora_block_in_channels=(32, 32, 32, 32),
+    lora_block_out_channels=(32, 64, 96, 96),
+    lora_cross_attention_dims=(
+        (None, 768, None, 768),
+        (None, 768, None, 768),
+        (None, 768, None, 768),
+        (None, 768),
+    ),
+)
+
+
+def make_tiny_trainer(mesh=None, lr=1e-3):
+    unet = UNet2DConditionModel(TINY_UNET)
+    unet_params = unet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, 8, 4)),
+        jnp.array([1]),
+        jnp.zeros((1, 77, 768)),
+    )["params"]
+    cl = ControlLoRA(TINY_CONTROL)
+    return ControlLoRATrainer(
+        control_lora=cl,
+        unet=unet,
+        frozen={"unet": unet_params},
+        optimizer=make_optimizer(learning_rate=lr),
+        mesh=mesh,
+        remat_unet=False,
+    )
+
+
+def make_batch(n, key=0):
+    """Pre-encoded batch: latents + text context directly (VAE/CLIP covered elsewhere)."""
+    k = jax.random.PRNGKey(key)
+    k1, k2, k3 = jax.random.split(k, 3)
+    return {
+        "latents": jax.random.normal(k1, (n, 8, 8, 4)) * 0.5,
+        "guide_values": jnp.tile(
+            jax.random.normal(k2, (1, 64, 64, 3)) * 0.5, (n, 1, 1, 1)
+        ),
+        "encoder_hidden_states": jax.random.normal(k3, (n, 77, 768)) * 0.02,
+    }
+
+
+def test_train_step_decreases_loss():
+    trainer = make_tiny_trainer(lr=2e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=64)
+    step = trainer.make_train_step()
+    batch = make_batch(2)
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(25):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 25
+    # same batch + same rng fold pattern: adapter must fit the noise residual
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.98, losses
+    assert all(np.isfinite(losses))
+
+
+def test_train_step_sharded_8dev():
+    """Data-parallel over the virtual 8-device CPU mesh (SURVEY.md §4 test strategy)."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    trainer = make_tiny_trainer(mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=64)
+    state = replicate(state, mesh)
+    trainer.frozen = replicate(trainer.frozen, mesh)
+    step = trainer.make_train_step()
+    batch = shard_batch(make_batch(8), mesh)
+    rng = replicate(jax.random.PRNGKey(1), mesh)
+    state, metrics = step(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    # replicated output state matches an unsharded run's structure
+    assert int(state.step) == 1
+
+
+def test_sharded_matches_single_device():
+    """The mesh all-reduce must produce the same update as a single-device run on the
+    concatenated batch (up to fp tolerance)."""
+    mesh = make_mesh()
+    t1 = make_tiny_trainer(mesh=None)
+    t2 = make_tiny_trainer(mesh=mesh)
+    s1 = t1.init_state(jax.random.PRNGKey(0), image_size=64)
+    s2 = jax.tree.map(lambda x: x.copy(), s1)
+    s2 = replicate(s2, mesh)
+    t2.frozen = replicate(t2.frozen, mesh)
+    batch = make_batch(8)
+    rng = jax.random.PRNGKey(7)
+    s1, m1 = t1.make_train_step()(s1, batch, rng)
+    s2, m2 = t2.make_train_step()(s2, shard_batch(batch, mesh), replicate(rng, mesh))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_grad_accumulation():
+    trainer = make_tiny_trainer()
+    trainer.optimizer = make_optimizer(learning_rate=1e-3, grad_accumulation_steps=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=64)
+    step = trainer.make_train_step()
+    batch = make_batch(2)
+    rng = jax.random.PRNGKey(3)
+    p0 = jax.tree.leaves(state.params)[5].copy()
+    state, _ = step(state, batch, rng)
+    p1 = jax.tree.leaves(state.params)[5]
+    # first micro-step: no update applied yet
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+    state, _ = step(state, batch, rng)
+    assert int(state.step) == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from controllora_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+        save_control_lora,
+        load_control_lora,
+    )
+
+    trainer = make_tiny_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=64)
+    step = trainer.make_train_step()
+    state, _ = step(state, make_batch(2), jax.random.PRNGKey(0))
+
+    out = str(tmp_path / "run")
+    save_train_state(out, int(state.step), state)
+    restored, at = restore_train_state(out, state)
+    assert at == 1
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # missing checkpoint degrades to fresh start (reference train:723-727)
+    none_state, at0 = restore_train_state(str(tmp_path / "empty"), state)
+    assert none_state is None and at0 == 0
+
+    # final artifact save/load
+    art = str(tmp_path / "artifact")
+    save_control_lora(art, state.params, TINY_CONTROL, formats=("safetensors",))
+    params2, cfg2 = load_control_lora(art)
+    assert cfg2 == TINY_CONTROL
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_fill50k_synthetic():
+    ds = Fill50kSynthetic(resolution=64, size=100, seed=1)
+    assert len(ds) == 100
+    it = ds[3]
+    assert it["pixel_values"].shape == (64, 64, 3)
+    assert it["guide_values"].shape == (64, 64, 3)
+    assert it["input_ids"].shape == (77,)
+    assert it["pixel_values"].min() >= -1 and it["pixel_values"].max() <= 1
+    # guide is a sparse ring: mostly background
+    ring_frac = (it["guide_values"] > 0).mean()
+    assert 0 < ring_frac < 0.2
+    # deterministic per index
+    np.testing.assert_allclose(ds[3]["pixel_values"], it["pixel_values"])
+    # registry resolution
+    assert DatasetBase.from_name("process/fill50k") is Fill50kSynthetic
+
+    batches = batch_iterator(ds, 4, epochs=1)
+    b = next(batches)
+    assert b["pixel_values"].shape == (4, 64, 64, 3)
+    assert b["input_ids"].dtype == np.int32
