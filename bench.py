@@ -62,7 +62,10 @@ def main():
     ts = tables[0]
 
     def sample(unet_params, vae_params, control_params, lat0, ctx, guide, gscale):
+        from controllora_tpu.ops.folding import fold_adapters
+
         adapters = control(control_params, guide, unet.config)
+        unet_params, adapters = fold_adapters(unet_params, adapters)
         state = sch.init_state(lat0)
 
         def body(state, i):

@@ -198,8 +198,28 @@ class CrossAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, ctx=None, stack: Optional[AdapterStack] = None, lora_scale=1.0):
+    def __call__(self, hidden, ctx=None, stack: Optional[Any] = None, lora_scale=1.0):
         inner = self.heads * self.dim_head
+        folded = stack is not None and not isinstance(stack, AdapterStack)
+        if folded:
+            # inference fast path: adapters pre-folded into kernels (ops/folding.py);
+            # only the precomputed per-position biases remain
+            q = dense(inner, self.dtype, "to_q", use_bias=False)(hidden)
+            if stack.q_bias is not None:
+                q = q + stack.q_bias.astype(q.dtype)
+            ctx_in = hidden if ctx is None else ctx
+            k = dense(inner, self.dtype, "to_k", use_bias=False)(ctx_in)
+            v = dense(inner, self.dtype, "to_v", use_bias=False)(ctx_in)
+            if stack.k_bias is not None:
+                k = k + stack.k_bias.astype(k.dtype)
+            if stack.v_bias is not None:
+                v = v + stack.v_bias.astype(v.dtype)
+            attn = dot_product_attention(q, k, v, self.heads)
+            out = dense(inner, self.dtype, "to_out_0", use_bias=self.out_bias)(attn)
+            if stack.out_bias is not None:
+                out = out + stack.out_bias.astype(out.dtype)
+            return out
+
         if stack is not None:
             # v2 control residual on (normed) hidden states before q-projection
             hidden = adapt_hidden_pre_q(stack, hidden, lora_scale)

@@ -95,14 +95,21 @@ class StableDiffusionControlLoRAPipeline:
         tables = sch.tables(num_inference_steps)
         ts = tables[0]
 
-        def sample_fn(latents, ctx, adapters, guidance_scale, lora_scale):
+        def sample_fn(latents, ctx, adapters, guidance_scale, lora_scale, fold):
+            unet_params = self.frozen["unet"]
+            if fold and adapters:
+                # collapse the whole adapter stack into the kernels + per-position
+                # biases once — the 20-step loop then runs at plain-SD1.5 cost
+                from controllora_tpu.ops.folding import fold_adapters
+
+                unet_params, adapters = fold_adapters(unet_params, adapters, lora_scale)
             state = sch.init_state(latents)
 
             def body(state, i):
                 lat2 = jnp.concatenate([state.sample, state.sample], axis=0)
                 t = jnp.broadcast_to(ts[i], (lat2.shape[0],))
                 eps = self.unet.apply(
-                    {"params": self.frozen["unet"]}, lat2, t, ctx, adapters, lora_scale
+                    {"params": unet_params}, lat2, t, ctx, adapters, lora_scale
                 )
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps_g = eps_u + guidance_scale * (eps_c - eps_u)
@@ -114,7 +121,7 @@ class StableDiffusionControlLoRAPipeline:
             )
             return image
 
-        fn = jax.jit(sample_fn)
+        fn = jax.jit(sample_fn, static_argnames=("fold",))
         self._sample_cache[key] = fn
         return fn
 
@@ -158,6 +165,9 @@ class StableDiffusionControlLoRAPipeline:
             adapters = merge_extra_loras(adapters or {}, extra_loras, extra_loras_where)
 
         sampler = self._build_sampler(num_inference_steps, (lh, lw), adapters is not None)
+        foldable = bool(adapters) and all(
+            s.main is not None and not s.pre and not s.post for s in adapters.values()
+        )
 
         images = []
         for i in range(num_images):
@@ -168,7 +178,7 @@ class StableDiffusionControlLoRAPipeline:
                 lat0 = jax.random.normal(k, (1, lh, lw, self.unet.config.in_channels),
                                          jnp.float32)
             img = sampler(lat0, ctx, adapters, jnp.float32(guidance_scale),
-                          jnp.float32(lora_scale))
+                          jnp.float32(lora_scale), foldable)
             img = np.asarray(jax.device_get(img[0]), np.float32)
             if return_array:
                 images.append(img)

@@ -1,0 +1,163 @@
+"""OpenPose tests: CPM model shapes + weight-import naming + PAF decode on synthetic
+scenes with known ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllora_tpu.annotators.openpose import (
+    LIMB_SEQ,
+    PAF_IDX,
+    BodyposeModel,
+    HandposeModel,
+    OpenposeDetector,
+    assemble_people,
+    draw_bodypose,
+    find_peaks,
+    openpose_params_from_torch,
+    score_limbs,
+)
+
+
+def test_body_model_shapes():
+    m = BodyposeModel()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    paf, heat = m.apply(params, x)
+    assert paf.shape == (1, 8, 8, 38)
+    assert heat.shape == (1, 8, 8, 19)
+
+
+def test_hand_model_shapes():
+    m = HandposeModel()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 8, 8, 22)
+
+
+def synth_torch_body_sd():
+    """Synthesize the CMU body checkpoint key set with correct shapes."""
+    sd = {}
+
+    def conv(name, cin, cout, k):
+        sd[f"{name}.weight"] = np.zeros((cout, cin, k, k), np.float32)
+        sd[f"{name}.bias"] = np.zeros((cout,), np.float32)
+
+    trunk = [("conv1_1", 3, 64, 3), ("conv1_2", 64, 64, 3), ("conv2_1", 64, 128, 3),
+             ("conv2_2", 128, 128, 3), ("conv3_1", 128, 256, 3), ("conv3_2", 256, 256, 3),
+             ("conv3_3", 256, 256, 3), ("conv3_4", 256, 256, 3), ("conv4_1", 256, 512, 3),
+             ("conv4_2", 512, 512, 3), ("conv4_3_CPM", 512, 256, 3),
+             ("conv4_4_CPM", 256, 128, 3)]
+    for name, ci, co, k in trunk:
+        conv(f"model0.{name}", ci, co, k)
+    for br, out in (("1", 38), ("2", 19)):
+        for i in range(1, 4):
+            conv(f"model1_{br}.conv5_{i}_CPM_L{br}", 128, 128, 3)
+        conv(f"model1_{br}.conv5_4_CPM_L{br}", 128, 512, 1)
+        conv(f"model1_{br}.conv5_5_CPM_L{br}", 512, out, 1)
+        for s in range(2, 7):
+            conv(f"model{s}_{br}.Mconv1_stage{s}_L{br}", 185, 128, 7)
+            for i in range(2, 6):
+                conv(f"model{s}_{br}.Mconv{i}_stage{s}_L{br}", 128, 128, 7)
+            conv(f"model{s}_{br}.Mconv6_stage{s}_L{br}", 128, 128, 1)
+            conv(f"model{s}_{br}.Mconv7_stage{s}_L{br}", 128, out, 1)
+    return sd
+
+
+def tree_paths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(tree_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v).shape
+    return out
+
+
+def test_body_weight_import_structure():
+    m = BodyposeModel()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    imported = openpose_params_from_torch(synth_torch_body_sd())
+    pa, pb = tree_paths(imported), tree_paths(params)
+    assert set(pa) == set(pb), (
+        f"missing {sorted(set(pb)-set(pa))[:4]} extra {sorted(set(pa)-set(pb))[:4]}"
+    )
+    for k in pa:
+        assert pa[k] == pb[k], (k, pa[k], pb[k])
+
+
+def synth_scene(people):
+    """Build heatmaps/PAFs for given people: dict part->(x,y). Returns (heat, paf)."""
+    H = W = 96
+    heat = np.zeros((H, W, 19), np.float32)
+    paf = np.zeros((H, W, 38), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    for person in people:
+        for part, (x, y) in person.items():
+            heat[:, :, part] += np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * 2.0**2))
+        for (pa, pb), (ca, cb) in zip(LIMB_SEQ, PAF_IDX):
+            if pa in person and pb in person:
+                ax, ay = person[pa]
+                bx, by = person[pb]
+                vec = np.array([bx - ax, by - ay], np.float32)
+                n = max(1e-3, np.hypot(*vec))
+                u = vec / n
+                for t in np.linspace(0, 1, int(n) * 2 + 2):
+                    px, py = ax + t * vec[0], ay + t * vec[1]
+                    x0, y0 = int(round(px)), int(round(py))
+                    paf[max(0, y0 - 1) : y0 + 2, max(0, x0 - 1) : x0 + 2, ca] = u[0]
+                    paf[max(0, y0 - 1) : y0 + 2, max(0, x0 - 1) : x0 + 2, cb] = u[1]
+    return heat, paf
+
+
+def two_person_scene():
+    # minimal upper bodies: nose(0), neck(1), shoulders(2,5), hips(8,11)
+    p1 = {0: (20, 14), 1: (20, 24), 2: (12, 25), 5: (28, 25), 8: (14, 50), 11: (26, 50)}
+    p2 = {0: (66, 18), 1: (66, 28), 2: (58, 29), 5: (74, 29), 8: (60, 54), 11: (72, 54)}
+    return [p1, p2]
+
+
+def test_paf_decode_two_people():
+    people = two_person_scene()
+    heat, paf = synth_scene(people)
+    peaks = find_peaks(heat[:, :, :18])
+    n_peaks = sum(len(p) for p in peaks)
+    assert n_peaks >= 12  # all 12 joints found
+    conns = score_limbs(paf, peaks, 96)
+    candidate, subset = assemble_people(peaks, conns)
+    assert len(subset) == 2, f"expected 2 people, got {len(subset)}"
+    # each assembled person has >= 5 parts and positive score
+    for person in subset:
+        assert person[-1] >= 5
+        assert person[-2] > 0
+    # people don't share joints
+    ids0 = {int(i) for i in subset[0][:18] if i >= 0}
+    ids1 = {int(i) for i in subset[1][:18] if i >= 0}
+    assert not (ids0 & ids1)
+    # joints of person 1 are all left of person 2 (by construction)
+    xs0 = [candidate[i][0] for i in ids0]
+    xs1 = [candidate[i][0] for i in ids1]
+    assert max(min(xs0), min(xs1)) > min(max(xs0), max(xs1)) or max(xs0) < min(xs1)
+
+
+def test_draw_bodypose():
+    people = two_person_scene()
+    heat, paf = synth_scene(people)
+    peaks = find_peaks(heat[:, :, :18])
+    conns = score_limbs(paf, peaks, 96)
+    candidate, subset = assemble_people(peaks, conns)
+    canvas = np.zeros((96, 96, 3), np.uint8)
+    draw_bodypose(canvas, candidate, subset)
+    assert (canvas > 0).any()
+    # drawing clusters around the two people
+    assert (canvas[:, :48].sum() > 0) and (canvas[:, 48:].sum() > 0)
+
+
+def test_detector_end_to_end_random_weights():
+    det = OpenposeDetector()
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3)).astype(np.uint8)
+    canvas, pose = det(img)
+    assert canvas.shape == img.shape
+    assert "bodies" in pose
