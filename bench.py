@@ -2,12 +2,17 @@
 """Benchmark harness. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.json): images/sec/chip — SD1.5 + ControlLoRA, 512², 20-step
-CFG guided sampling. The driver-set serving target is >=2 images/sec/chip on v5e;
-`vs_baseline` reports value/2.0. Weights are random (no pretrained checkpoints in this
-container) — throughput is weight-agnostic.
+Headline metric (BASELINE.json): images/sec/chip — SD1.5 + ControlLoRA guided sampling,
+512², 20-step CFG, DPM-Solver++ 2M. The driver-set serving target is >=2 images/sec/chip
+on v5e; `vs_baseline` = value / 2.0. Weights are random (no pretrained checkpoints in
+this container) — throughput is weight-agnostic.
 
-Extra metrics (train steps/sec/chip) go to stderr; stdout carries exactly one line.
+Measurement methodology: N sampler invocations are CHAINED (each consumes the previous
+output as its initial latents), so asynchronous dispatch cannot overlap or hide latency;
+one block_until_ready at the end. Both the adapter-folded and adapter-threaded samplers
+are measured and the better one is reported (identical math — see ops/folding.py).
+
+Diagnostics go to stderr; stdout carries exactly one JSON line.
 """
 
 import json
@@ -27,6 +32,7 @@ def main():
     from controllora_tpu.models.unet import UNet2DConditionModel, UNetConfig
     from controllora_tpu.models.vae import AutoencoderKL, VAEConfig
     from controllora_tpu.models.zoo import cast_tree
+    from controllora_tpu.ops.folding import fold_adapters
     from controllora_tpu.schedulers import DPMSolverMultistepScheduler
 
     dev = jax.devices()[0]
@@ -48,7 +54,6 @@ def main():
         )["params"],
         dtype,
     )
-    # decoder only (encode not needed for sampling)
     vae_params = cast_tree(
         jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))["params"],
         dtype,
@@ -61,46 +66,56 @@ def main():
     tables = sch.tables(steps)
     ts = tables[0]
 
-    def sample(unet_params, vae_params, control_params, lat0, ctx, guide, gscale):
-        from controllora_tpu.ops.folding import fold_adapters
+    def make_sampler(fold: bool):
+        def sample(unet_params, vae_params, control_params, lat0, ctx, guide, gscale):
+            adapters = control(control_params, guide, unet.config)
+            up = unet_params
+            if fold:
+                up, adapters = fold_adapters(up, adapters)
+            state = sch.init_state(lat0)
 
-        adapters = control(control_params, guide, unet.config)
-        unet_params, adapters = fold_adapters(unet_params, adapters)
-        state = sch.init_state(lat0)
+            def body(state, i):
+                lat2 = jnp.concatenate([state.sample, state.sample], 0).astype(dtype)
+                t = jnp.broadcast_to(ts[i], (2,))
+                eps = unet.apply({"params": up}, lat2, t, ctx, adapters)
+                eu, ec = jnp.split(eps, 2, 0)
+                return sch.step(state, eu + gscale * (ec - eu), i, steps, tables), None
 
-        def body(state, i):
-            lat2 = jnp.concatenate([state.sample, state.sample], axis=0).astype(dtype)
-            t = jnp.broadcast_to(ts[i], (2,))
-            eps = unet.apply({"params": unet_params}, lat2, t, ctx, adapters)
-            eps_u, eps_c = jnp.split(eps, 2, axis=0)
-            eps_g = eps_u + gscale * (eps_c - eps_u)
-            return sch.step(state, eps_g, i, steps, tables), None
+            state, _ = jax.lax.scan(body, state, jnp.arange(steps))
+            img = vae.apply({"params": vae_params}, state.sample, method=vae.decode)
+            # return the image AND latents for chaining
+            return img, state.sample
 
-        state, _ = jax.lax.scan(body, state, jnp.arange(steps))
-        return vae.apply({"params": vae_params}, state.sample, method=vae.decode)
+        return jax.jit(sample)
 
-    fn = jax.jit(sample)
-    args = (unet_params, vae_params, control_params, latents0, ctx2, guide,
-            jnp.float32(9.0))
+    results = {}
+    n = 6
+    for name, fold in (("unfolded", False), ("folded", True)):
+        fn = make_sampler(fold)
+        t0 = time.time()
+        img, lat = jax.block_until_ready(
+            fn(unet_params, vae_params, control_params, latents0, ctx2, guide,
+               jnp.float32(9.0))
+        )
+        print(f"{name}: compile+first {time.time()-t0:.1f}s out {img.shape}",
+              file=sys.stderr)
+        t0 = time.time()
+        lat_in = latents0
+        for _ in range(n):
+            img, lat = fn(unet_params, vae_params, control_params,
+                          jnp.tanh(lat_in), ctx2, guide, jnp.float32(9.0))
+            lat_in = lat  # chain: next call depends on this output
+        jax.block_until_ready(img)
+        dt = (time.time() - t0) / n
+        results[name] = 1.0 / dt
+        print(f"{name}: {dt*1000:.1f} ms/sample -> {1.0/dt:.3f} img/s", file=sys.stderr)
 
-    t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
-    print(f"compile+first run: {time.time()-t0:.1f}s, out {out.shape}", file=sys.stderr)
-
-    n = 5
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / n
-    ips = 1.0 / dt
-    print(f"sample latency: {dt*1000:.1f} ms -> {ips:.3f} img/s", file=sys.stderr)
-
+    best = max(results.values())
     print(json.dumps({
         "metric": "images/sec/chip (SD1.5+ControlLoRA, 512^2, 20-step CFG)",
-        "value": round(ips, 4),
+        "value": round(best, 4),
         "unit": "images/sec",
-        "vs_baseline": round(ips / 2.0, 4),
+        "vs_baseline": round(best / 2.0, 4),
     }))
 
 
