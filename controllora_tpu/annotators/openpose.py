@@ -353,6 +353,78 @@ def draw_bodypose(canvas: np.ndarray, candidate: np.ndarray, subset: np.ndarray)
     return canvas
 
 
+# ---------------------------------------------------------------------------- hands
+
+_HAND_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7), (7, 8), (0, 9),
+    (9, 10), (10, 11), (11, 12), (0, 13), (13, 14), (14, 15), (15, 16), (0, 17),
+    (17, 18), (18, 19), (19, 20),
+]
+
+
+def hand_detect(candidate: np.ndarray, subset: np.ndarray, img_shape) -> List[tuple]:
+    """Hand boxes from arm keypoints (reference openpose/util.py:94-157):
+    box center = wrist + 0.33·(wrist − elbow), side = 1.5·max(|wrist−elbow|,
+    0.9·|elbow−shoulder|). Returns [(x, y, w, is_left)]."""
+    H, W = img_shape[:2]
+    out = []
+    for person in subset.astype(int):
+        for (si, ei, wi), is_left in (((5, 6, 7), True), ((2, 3, 4), False)):
+            if (person[[si, ei, wi]] < 0).any():
+                continue
+            x1, y1 = candidate[person[si]][:2]
+            x2, y2 = candidate[person[ei]][:2]
+            x3, y3 = candidate[person[wi]][:2]
+            x = x3 + 0.33 * (x3 - x2)
+            y = y3 + 0.33 * (y3 - y2)
+            width = 1.5 * max(
+                math.hypot(x3 - x2, y3 - y2), 0.9 * math.hypot(x2 - x1, y2 - y1)
+            )
+            x -= width / 2
+            y -= width / 2
+            x, y = max(0.0, x), max(0.0, y)
+            width = min(width, W - x, H - y)
+            if width >= 20:
+                out.append((int(x), int(y), int(width), is_left))
+    return out
+
+
+def decode_hand_peaks(heatmaps: np.ndarray, thre: float = 0.05) -> np.ndarray:
+    """21 keypoints from hand heatmaps: per channel, Gaussian-smooth then take the
+    strongest mode's argmax (the reference uses connected-component labeling +
+    npmax, hand.py:59-75; the smoothed-argmax picks the same point whenever the
+    strongest component dominates — documented approximation)."""
+    peaks = []
+    blurred = np.asarray(
+        jax.vmap(lambda m: _gaussian_blur_2d(m, 3.0), in_axes=2, out_axes=2)(
+            jnp.asarray(heatmaps[:, :, :21])
+        )
+    )
+    for part in range(21):
+        b = blurred[:, :, part]
+        if b.max() <= thre:
+            peaks.append([0, 0])
+            continue
+        y, x = np.unravel_index(np.argmax(b), b.shape)
+        peaks.append([int(x), int(y)])
+    return np.array(peaks)
+
+
+def draw_handpose(canvas: np.ndarray, all_hand_peaks) -> np.ndarray:
+    """Hand skeleton render (reference openpose/util.py draw_handpose)."""
+    for peaks in all_hand_peaks:
+        for i, (e0, e1) in enumerate(_HAND_EDGES):
+            p0, p1 = peaks[e0], peaks[e1]
+            if (p0 == 0).all() or (p1 == 0).all():
+                continue
+            hue = int(i / len(_HAND_EDGES) * 255)
+            _draw_line(canvas, p0, p1, (hue, 255 - hue, 128), width=2)
+        for p in peaks:
+            if not (p == 0).all():
+                _draw_line(canvas, p, p, (0, 0, 255), width=4)
+    return canvas
+
+
 # ---------------------------------------------------------------------------- detector
 
 
@@ -399,6 +471,26 @@ class OpenposeDetector:
         heat = jax.image.resize(heat[0], (H, W, 19), "bicubic")
         return np.asarray(paf), np.asarray(heat)
 
+    def infer_hand(self, crop: np.ndarray, boxsize: int = 368, stride: int = 8):
+        """Hand heatmaps at crop resolution (single-scale variant of the reference's
+        4-scale average, hand.py:25-58)."""
+        assert self.hand_params is not None
+        if not hasattr(self, "_hand_jit"):
+            self._hand_jit = jax.jit(
+                lambda p, x: self.hand_model.apply({"params": p}, x)
+            )
+        scale = boxsize / crop.shape[0]
+        h = max(stride, int(round(crop.shape[0] * scale)))
+        w = max(stride, int(round(crop.shape[1] * scale)))
+        small = np.asarray(
+            jax.image.resize(jnp.asarray(crop, jnp.float32), (h, w, 3), "bicubic")
+        )
+        padded, _ = _pad_to_stride(small, stride)
+        inp = jnp.asarray(padded[None] / 256.0 - 0.5, jnp.float32)
+        heat = self._hand_jit(self.hand_params, inp)
+        H, W = crop.shape[:2]
+        return np.asarray(jax.image.resize(heat[0], (H, W, 22), "bicubic"))
+
     def __call__(self, ori_img: np.ndarray, hand: bool = False):
         paf, heat = self.infer_maps(ori_img)
         peaks = find_peaks(heat[:, :, :18])
@@ -409,4 +501,18 @@ class OpenposeDetector:
         pose = {
             "bodies": {"candidate": candidate.tolist(), "subset": subset.tolist()},
         }
+        if hand and self.hand_params is not None:
+            all_hand_peaks = []
+            for x, y, w, is_left in hand_detect(candidate, subset, ori_img.shape):
+                crop = ori_img[y : y + w, x : x + w]
+                if not is_left:
+                    crop = crop[:, ::-1]
+                hm = self.infer_hand(np.ascontiguousarray(crop))
+                pk = decode_hand_peaks(hm)
+                if not is_left:
+                    pk[:, 0] = np.where(pk.sum(1) > 0, w - 1 - pk[:, 0], 0)
+                pk = np.where(pk > 0, pk + np.array([x, y]), 0)
+                all_hand_peaks.append(pk)
+            draw_handpose(canvas, all_hand_peaks)
+            pose["hands"] = [p.tolist() for p in all_hand_peaks]
         return canvas, pose

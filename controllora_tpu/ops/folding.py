@@ -12,6 +12,11 @@ per-position array computed ONCE per sample. The 20-step CFG loop then runs a UN
 *zero* adapter overhead — the TPU-native answer to SURVEY.md §7 hard part 3 (the
 reference pays the full processor chain on every attention call of every step).
 
+All folds are computed as LOW-RANK updates — `W @ (I + s·D·U) = W + s·(W@D)@U`,
+`(I + s·Dh·U) @ W = W + s·Dh·(U@W)` — never materializing identity or C×C×C dense
+products. The whole fold costs ~100 MFLOP (vs ~1.6 TFLOP per UNet step), so it is
+negligible even if the compiler schedules it inside the sampling loop.
+
 Supported: main adapters of kind lora / control_v1 / control_v2 with all flag
 combinations used by the reference configs. Pre/post chains (mix path) fall back to the
 unfolded path.
@@ -39,16 +44,8 @@ class FoldedBias:
     out_bias: Optional[jnp.ndarray] = None  # added after to_out
 
 
-def _mm(*ms):
-    out = ms[0].astype(jnp.float32)
-    for m in ms[1:]:
-        out = out @ m.astype(jnp.float32)
-    return out
-
-
-def _split_control_down(down: jnp.ndarray, hidden: int):
-    """to_control.down rows: first `hidden` rows act on h (concat_hidden), rest on c."""
-    return down[:hidden], down[hidden:]
+def _f32(x):
+    return x.astype(jnp.float32)
 
 
 def _attn_param_path(name: str):
@@ -81,6 +78,18 @@ def _set(tree, path, value):
     return new
 
 
+def _add_low_rank_post(W, down, up, s):
+    """W @ (I + s·down·up) = W + s·(W@down)@up. W: (in, out) with out == down-in dim."""
+    Wd = _f32(W) @ _f32(down)
+    return _f32(W) + s * (Wd @ _f32(up))
+
+
+def _add_low_rank_pre(W, down, up, s):
+    """(I + s·down·up) @ W = W + s·down@(up@W)."""
+    uW = _f32(up) @ _f32(W)
+    return _f32(W) + s * (_f32(down) @ uW)
+
+
 def fold_adapters(
     unet_params: Dict[str, Any],
     adapters: Dict[str, AdapterStack],
@@ -104,105 +113,98 @@ def fold_adapters(
         attn = _get(unet_params, path)
         dtype = attn["to_q"]["kernel"].dtype
         C = attn["to_q"]["kernel"].shape[0]
-        is_self = name.split(".")[-2] == "attn1" if False else ".attn1." in name
+        is_self = ".attn1." in name
 
         p = a.params
         Wq = attn["to_q"]["kernel"]
-        eye = jnp.eye(C, dtype=jnp.float32)
 
-        def lora_mat(pair):
-            return _mm(pair["down"], pair["up"])  # (in, out) fp32
+        def lora_delta(pair):
+            """s·D·U as an explicit (in, out) low-rank product (cheap: in·r·out)."""
+            return s * (_f32(pair["down"]) @ _f32(pair["up"]))
 
         q_bias = k_bias = v_bias = out_bias = None
         upd: Dict[str, jnp.ndarray] = {}
 
-        if spec.kind == "lora":
-            Dq = lora_mat(p["to_q"])
+        def fold_plain(proj_key, param_key, W):
+            pr = p[param_key]
             if spec.post_add:
-                upd["to_q"] = _mm(Wq, eye + s * Dq)
-            else:
-                upd["to_q"] = _mm(Wq) + s * Dq
+                return _add_low_rank_post(W, pr["down"], pr["up"], s)
+            return _f32(W) + lora_delta(pr)
+
+        if spec.kind == "lora":
+            upd["to_q"] = fold_plain("to_q", "to_q", Wq)
             if "to_k" in p and not spec.key_skipped:
-                Wk = attn["to_k"]["kernel"]
-                Dk = lora_mat(p["to_k"])
-                upd["to_k"] = _mm(Wk, eye + s * Dk) if spec.post_add else _mm(Wk) + s * Dk
+                upd["to_k"] = fold_plain("to_k", "to_k", attn["to_k"]["kernel"])
             if "to_v" in p and not spec.value_skipped:
-                Wv = attn["to_v"]["kernel"]
-                Dv = lora_mat(p["to_v"])
-                upd["to_v"] = _mm(Wv, eye + s * Dv) if spec.post_add else _mm(Wv) + s * Dv
+                upd["to_v"] = fold_plain("to_v", "to_v", attn["to_v"]["kernel"])
             if "to_out" in p and not spec.output_skipped:
-                Wo = attn["to_out_0"]["kernel"]
-                Do = lora_mat(p["to_out"])
-                upd["to_out_0"] = (
-                    _mm(Wo, eye + s * Do) if spec.post_add else _mm(Wo) + s * Do
+                upd["to_out_0"] = fold_plain(
+                    "to_out", "to_out", attn["to_out_0"]["kernel"]
                 )
 
         elif spec.kind == "control_v1":
             assert a.control is not None
-            c = a.control.astype(jnp.float32)  # (B, L, Cc)
-            Dq = lora_mat(p["to_q"])
-            dc, uc = p["to_control"]["down"], p["to_control"]["up"]
+            c = _f32(a.control)  # (B, L, Cc)
+            dq, uq = _f32(p["to_q"]["down"]), _f32(p["to_q"]["up"])
+            dc, uc = _f32(p["to_control"]["down"]), _f32(p["to_control"]["up"])
             if spec.concat_hidden:
-                d_h, d_c = _split_control_down(dc, C)
-                A = s * _mm(d_h, uc)  # h -> control proj, (C, C)
-                Pc = s * _mm(c, d_c, uc)  # (B, L, C) c-part
+                d_h, d_c = dc[:C], dc[C:]
+                # h-linear control part A = s·d_h·uc folded through to_q_lora:
+                # s·A·Dq·Uq = s²·d_h·[(uc@dq)@uq]  (all low-rank)
+                A_through_q = (s * s) * (d_h @ ((uc @ dq) @ uq))
+                Pc = s * ((c @ d_c) @ uc)  # (B, L, C)
                 if spec.control_self_add:
-                    # reference: self_add forced off when control_channels explicit;
-                    # with concat + self_add c must already be C-dim
                     Pc = c + Pc
-                    # self-add has no h-linear part
             else:
-                A = jnp.zeros((C, C), jnp.float32)
-                Pc = s * _mm(c, dc, uc)
+                A_through_q = None
+                Pc = s * ((c @ dc) @ uc)
                 if spec.control_self_add:
                     Pc = c + Pc
-            # q = (h @ Wq [+ post_add]) + s * (base + P(h, c)) @ Dq
             if spec.post_add:
-                # base = q0 = h @ Wq ; P adds A h + Pc
-                upd["to_q"] = _mm(Wq, eye + s * Dq) + s * _mm(A, Dq)
+                Wq2 = _add_low_rank_post(Wq, p["to_q"]["down"], p["to_q"]["up"], s)
             else:
-                upd["to_q"] = _mm(Wq) + s * Dq + s * _mm(A, Dq)
-            q_bias = s * _mm(Pc, Dq)
+                Wq2 = _f32(Wq) + lora_delta(p["to_q"])
+            if A_through_q is not None:
+                Wq2 = Wq2 + A_through_q
+            upd["to_q"] = Wq2
+            q_bias = s * ((Pc @ dq) @ uq)
             if "to_k" in p and not spec.key_skipped:
-                Wk = attn["to_k"]["kernel"]
-                Dk = lora_mat(p["to_k"])
-                upd["to_k"] = _mm(Wk, eye + s * Dk) if spec.post_add else _mm(Wk) + s * Dk
+                upd["to_k"] = fold_plain("to_k", "to_k", attn["to_k"]["kernel"])
             if "to_v" in p and not spec.value_skipped:
-                Wv = attn["to_v"]["kernel"]
-                Dv = lora_mat(p["to_v"])
-                upd["to_v"] = _mm(Wv, eye + s * Dv) if spec.post_add else _mm(Wv) + s * Dv
+                upd["to_v"] = fold_plain("to_v", "to_v", attn["to_v"]["kernel"])
             # main control out-lora applies unconditionally (reference models.py:279)
-            Wo = attn["to_out_0"]["kernel"]
-            Do = lora_mat(p["to_out"])
-            upd["to_out_0"] = _mm(Wo, eye + s * Do) if spec.post_add else _mm(Wo) + s * Do
+            if spec.post_add:
+                upd["to_out_0"] = _add_low_rank_post(
+                    attn["to_out_0"]["kernel"], p["to_out"]["down"], p["to_out"]["up"], s
+                )
+            else:
+                upd["to_out_0"] = _f32(attn["to_out_0"]["kernel"]) + lora_delta(
+                    p["to_out"]
+                )
 
         elif spec.kind == "control_v2":
             assert a.control is not None
-            c = a.control.astype(jnp.float32)
-            dc, uc = p["to_control"]["down"], p["to_control"]["up"]
-            dco, uco = p["to_control_out"]["down"], p["to_control_out"]["up"]
-            d_h, d_c = _split_control_down(dc, C)
-            do_h, do_c = _split_control_down(dco, C)
-            M = eye + s * _mm(d_h, uc)  # h' = h @ M + b
-            b = s * _mm(c, d_c, uc)
-            Mo = eye + s * _mm(do_h, uco)  # a' = a @ Mo + bo
-            bo = s * _mm(c, do_c, uco)
+            c = _f32(a.control)
+            dc, uc = _f32(p["to_control"]["down"]), _f32(p["to_control"]["up"])
+            dco, uco = _f32(p["to_control_out"]["down"]), _f32(p["to_control_out"]["up"])
+            d_h, d_c = dc[:C], dc[C:]
+            do_h, do_c = dco[:C], dco[C:]
+            b = s * ((c @ d_c) @ uc)  # h' = h@M + b, M = I + s·d_h·uc
+            bo = s * ((c @ do_c) @ uco)  # a' = a@Mo + bo
 
-            Dq = lora_mat(p["to_q"])
-            Wq_eff = _mm(Wq) + s * Dq  # q = h' @ (Wq + s Dq)
-            upd["to_q"] = _mm(M, Wq_eff)
-            q_bias = _mm(b, Wq_eff)
+            # q = h' @ Wq_eff, Wq_eff = Wq + s·Dq·Uq ; W' = M @ Wq_eff (low-rank pre)
+            Wq_eff = _f32(Wq) + lora_delta(p["to_q"])
+            upd["to_q"] = Wq_eff + s * (d_h @ (uc @ Wq_eff))
+            q_bias = b @ Wq_eff
             if is_self:
                 Wk, Wv = attn["to_k"]["kernel"], attn["to_v"]["kernel"]
-                upd["to_k"] = _mm(M, Wk)
-                k_bias = _mm(b, Wk)
-                upd["to_v"] = _mm(M, Wv)
-                v_bias = _mm(b, Wv)
-            Wo = attn["to_out_0"]["kernel"]
-            Do = lora_mat(p["to_out"])
-            Wo_eff = _mm(Wo) + s * Do  # out = a' @ (Wo + s Do)
-            upd["to_out_0"] = _mm(Mo, Wo_eff)
-            out_bias = _mm(bo, Wo_eff)
+                upd["to_k"] = _add_low_rank_pre(Wk, d_h, uc, s)
+                k_bias = b @ _f32(Wk)
+                upd["to_v"] = _add_low_rank_pre(Wv, d_h, uc, s)
+                v_bias = b @ _f32(Wv)
+            Wo_eff = _f32(attn["to_out_0"]["kernel"]) + lora_delta(p["to_out"])
+            upd["to_out_0"] = Wo_eff + s * (do_h @ (uco @ Wo_eff))
+            out_bias = bo @ Wo_eff
         else:
             raise ValueError(f"unknown adapter kind {spec.kind}")
 

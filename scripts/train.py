@@ -67,6 +67,9 @@ def parse_args(argv=None):
     p.add_argument("--report_to", type=str, default="jsonl")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 3..8 to "
+                        "<output_dir>/profile (view with tensorboard)")
     return p.parse_args(argv)
 
 
@@ -189,6 +192,11 @@ def main(argv=None):
 
     t_last = time.time()
     for step in range(start_step, args.max_train_steps):
+        if args.profile and step == start_step + 3:
+            jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
+        if args.profile and step == start_step + 8:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.output_dir}/profile")
         batch = next(batches)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if mesh is not None:
