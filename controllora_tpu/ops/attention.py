@@ -34,27 +34,55 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
+def _use_flash(q_len: int, kv_len: int, backend: str) -> bool:
+    """Flash pays off for long self-attention (measured on v5e: 2.68 vs 4.69 ms at
+    L=4096 — the XLA path is bandwidth-bound on the fp32 score matrix). Cross
+    attention (kv=77) and short sequences stay on the fused-einsum path."""
+    if backend == "flash":
+        return True
+    if backend != "auto":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return q_len == kv_len and q_len >= 2048 and q_len % 512 == 0
+
+
+def _flash(q, k, v, scale):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    L = q.shape[2]
+    blk = min(512, L)
+    bs = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    return flash_attention(q, k, v, sm_scale=scale, block_sizes=bs)
+
+
 def dot_product_attention(
     query: jnp.ndarray,
     key: jnp.ndarray,
     value: jnp.ndarray,
     heads: int,
     mask: Optional[jnp.ndarray] = None,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Attention over (B, L, inner) projections; returns (B, Lq, inner).
 
     Logits and softmax accumulate in fp32 regardless of input dtype (bf16-safe).
+    backend: "auto" (flash for long TPU self-attention), "xla", or "flash".
     """
     q = split_heads(query, heads)
     k = split_heads(key, heads)
     v = split_heads(value, heads)
     scale = q.shape[-1] ** -0.5
 
-    if backend == "flash":
-        from controllora_tpu.ops.flash_attention import flash_attention
-
-        out = flash_attention(q, k, v, scale=scale)
+    if mask is None and _use_flash(q.shape[2], k.shape[2], backend):
+        out = _flash(q, k, v, scale)
         return merge_heads(out.astype(query.dtype))
 
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)

@@ -2,3 +2,4 @@ from controllora_tpu.schedulers.common import DiffusionSchedule  # noqa: F401
 from controllora_tpu.schedulers.ddpm import DDPMScheduler  # noqa: F401
 from controllora_tpu.schedulers.ddim import DDIMScheduler  # noqa: F401
 from controllora_tpu.schedulers.dpmsolver import DPMSolverMultistepScheduler  # noqa: F401
+from controllora_tpu.schedulers.pndm import PNDMScheduler  # noqa: F401

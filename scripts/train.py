@@ -164,7 +164,22 @@ def main(argv=None):
     if args.max_train_samples:
         dataset.size = min(len(dataset), args.max_train_samples)
     global_batch = args.train_batch_size * n_dev
-    batches = batch_iterator(dataset, global_batch, seed=args.seed)
+    batches = None
+    if args.dataset_name == "process/fill50k":
+        # native C batcher + background prefetch (11x the python batcher at 512^2)
+        from controllora_tpu.data.fastloader import (
+            NativeFill50kBatcher,
+            Prefetcher,
+            native_available,
+        )
+
+        if native_available():
+            batches = iter(Prefetcher(
+                iter(NativeFill50kBatcher(dataset, global_batch, seed=args.seed))
+            ))
+            print("using native fastloader data plane")
+    if batches is None:
+        batches = batch_iterator(dataset, global_batch, seed=args.seed)
 
     # ---- state (+ resume)
     state = trainer.init_state(jax.random.PRNGKey(args.seed), image_size=args.resolution)
@@ -186,6 +201,35 @@ def main(argv=None):
     train_step = trainer.make_train_step()
     logger = MetricsLogger(args.output_dir, args.report_to)
     run_key = jax.random.PRNGKey(args.seed + 1)
+
+    # in-training validation sampling (reference train:816-861): render a guided
+    # sample from a fixed dataset item every --validation_steps
+    val_pipe = None
+    if args.validation_steps:
+        from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
+
+        val_item = dataset[0]
+        val_pipe = StableDiffusionControlLoRAPipeline(
+            unet, vae, text_encoder, tokenizer, frozen, control_lora, None,
+        )
+
+    def run_validation(step, params):
+        import numpy as _np
+
+        val_pipe.control_params = jax.device_get(params)
+        img = val_pipe(
+            args.validation_prompt or "validation sample",
+            guide=val_item["guide_values"].astype(np.float32),
+            num_inference_steps=25,
+            guidance_scale=9.0,
+            rng=jax.random.PRNGKey(args.seed),
+            return_array=True,
+        )[0]
+        montage = DatasetBase.cat_input(
+            val_item["pixel_values"], val_item["guide_values"], img
+        )
+        logger.log_image(step, "validation", montage)
+        print(f"validation image at step {step}")
 
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"ControlLoRA params: {n_params/1e6:.2f}M | global batch {global_batch} | lr {lr}")
@@ -222,6 +266,9 @@ def main(argv=None):
             save_train_state(args.output_dir, step + 1, jax.device_get(state),
                              keep=args.checkpoints_total_limit)
             print(f"saved checkpoint-{step+1}")
+
+        if val_pipe is not None and (step + 1) % args.validation_steps == 0:
+            run_validation(step + 1, state.params)
 
     # final artifact (reference train:922-929)
     save_control_lora(args.output_dir, jax.device_get(state).params, ccfg)

@@ -96,6 +96,23 @@ def test_ddpm_ancestral_step_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("steps", [10, 50])
+def test_pndm_tracks_analytic_solution(steps):
+    from controllora_tpu.schedulers import PNDMScheduler
+
+    sch = PNDMScheduler()
+    target = jnp.full((1, 4, 4, 1), 0.4)
+    ts = sch.timesteps(steps)
+    x = jax.random.normal(jax.random.PRNGKey(3), target.shape)
+    state = sch.init_state(x)
+    for i, t in enumerate(ts):
+        t_prev = ts[i + 1] if i + 1 < len(ts) else ts[i] - (ts[0] - ts[1] if len(ts) > 1 else 1)
+        eps = _analytic_eps(sch.schedule, state.sample, jnp.asarray(int(t)), target)
+        state = sch.step(state, eps, jnp.asarray(int(t)), jnp.asarray(int(t_prev)))
+    # PNDM ends near t=1; alpha there ~1 so the state approximates x0 closely
+    np.testing.assert_allclose(np.asarray(state.sample), np.asarray(target), atol=0.2)
+
+
 def test_dpmsolver_scan_compatible():
     """Whole sampling loop as one lax.scan (the TPU-native shape)."""
     sch = DPMSolverMultistepScheduler()
