@@ -28,7 +28,12 @@ from controllora_tpu.models.control_lora import ControlLoRA
 from controllora_tpu.models.lora import AdapterStack, AttnAdapter
 from controllora_tpu.models.unet import UNet2DConditionModel
 from controllora_tpu.models.vae import AutoencoderKL
-from controllora_tpu.schedulers import DiffusionSchedule, DPMSolverMultistepScheduler
+from controllora_tpu.schedulers import (
+    DDIMScheduler,
+    DiffusionSchedule,
+    DPMSolverMultistepScheduler,
+    PNDMScheduler,
+)
 
 
 def merge_extra_loras(
@@ -92,8 +97,32 @@ class StableDiffusionControlLoRAPipeline:
             return self._sample_cache[key]
 
         sch = self.scheduler
-        tables = sch.tables(num_inference_steps)
-        ts = tables[0]
+
+        # per-scheduler (state, step) protocol over a shared CFG-UNet eval
+        if isinstance(sch, DPMSolverMultistepScheduler):
+            tables = sch.tables(num_inference_steps)
+            ts = tables[0]
+            init_state = sch.init_state
+            get_sample = lambda s: s.sample
+            step = lambda s, eps, i: sch.step(s, eps, i, num_inference_steps, tables)
+        elif isinstance(sch, (DDIMScheduler, PNDMScheduler)):
+            ts_np = sch.timesteps(num_inference_steps)
+            ts = jnp.asarray(ts_np, jnp.int32)
+            last_prev = (ts_np[-1] - (ts_np[0] - ts_np[1])) if len(ts_np) > 1 else -1
+            ts_prev = jnp.asarray(
+                list(ts_np[1:]) + [max(int(last_prev), -1) if isinstance(sch, PNDMScheduler) else -1],
+                jnp.int32,
+            )
+            if isinstance(sch, DDIMScheduler):
+                init_state = lambda x: x
+                get_sample = lambda s: s
+                step = lambda s, eps, i: sch.step(eps, ts[i], ts_prev[i], s)
+            else:
+                init_state = sch.init_state
+                get_sample = lambda s: s.sample
+                step = lambda s, eps, i: sch.step(s, eps, ts[i], ts_prev[i])
+        else:
+            raise TypeError(f"unsupported scheduler {type(sch).__name__}")
 
         def sample_fn(latents, ctx, adapters, guidance_scale, lora_scale, fold):
             unet_params = self.frozen["unet"]
@@ -103,21 +132,23 @@ class StableDiffusionControlLoRAPipeline:
                 from controllora_tpu.ops.folding import fold_adapters
 
                 unet_params, adapters = fold_adapters(unet_params, adapters, lora_scale)
-            state = sch.init_state(latents)
+            state = init_state(latents)
 
             def body(state, i):
-                lat2 = jnp.concatenate([state.sample, state.sample], axis=0)
+                lat = get_sample(state)
+                lat2 = jnp.concatenate([lat, lat], axis=0)
                 t = jnp.broadcast_to(ts[i], (lat2.shape[0],))
                 eps = self.unet.apply(
                     {"params": unet_params}, lat2, t, ctx, adapters, lora_scale
                 )
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps_g = eps_u + guidance_scale * (eps_c - eps_u)
-                return sch.step(state, eps_g, i, num_inference_steps, tables), None
+                return step(state, eps_g, i), None
 
             state, _ = jax.lax.scan(body, state, jnp.arange(num_inference_steps))
             image = self.vae.apply(
-                {"params": self.frozen["vae"]}, state.sample, method=self.vae.decode
+                {"params": self.frozen["vae"]}, get_sample(state),
+                method=self.vae.decode,
             )
             return image
 

@@ -272,6 +272,23 @@ def main(argv=None):
 
     # final artifact (reference train:922-929)
     save_control_lora(args.output_dir, jax.device_get(state).params, ccfg)
+    # model card (reference save_model_card, train:54-81)
+    with open(os.path.join(args.output_dir, "README.md"), "w") as f:
+        f.write(
+            f"""---
+license: creativeml-openrail-m
+base_model: {args.pretrained_model_name_or_path or 'runwayml/stable-diffusion-v1-5'}
+tags: [stable-diffusion, controllora, control-lora, jax, tpu]
+---
+# ControlLoRA — {os.path.basename(args.output_dir)}
+
+ControlLoRA adapter trained with controllora_tpu (JAX/TPU) on `{args.dataset_name}`
+at {args.resolution}px for {args.max_train_steps} steps (lr {args.learning_rate},
+global batch {global_batch}, config `{args.control_lora_config}`).
+Load with `controllora_tpu.training.checkpoint.load_control_lora` or the PyTorch
+reference's `ControlLoRA.from_pretrained`.
+"""
+        )
     print(f"saved final ControlLoRA to {args.output_dir}")
     logger.close()
 

@@ -108,6 +108,23 @@ def test_mix_lora_composition(pipe):
     assert np.abs(diff - base).max() > 1e-5
 
 
+def test_alternative_schedulers(pipe):
+    """DDIM and PNDM samplers plug into the same jitted pipeline."""
+    from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
+    from controllora_tpu.schedulers import DDIMScheduler, PNDMScheduler
+
+    lat = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
+    for sch in (DDIMScheduler(), PNDMScheduler()):
+        p2 = StableDiffusionControlLoRAPipeline(
+            pipe.unet, pipe.vae, pipe.text_encoder, pipe.tokenizer, pipe.frozen,
+            pipe.control_lora, pipe.control_params, scheduler=sch,
+        )
+        img = p2("x", guide=make_guide(), num_inference_steps=3, latents=lat,
+                 return_array=True)[0]
+        assert img.shape == (64, 64, 3)
+        assert np.isfinite(img).all()
+
+
 def test_merge_extra_loras_structure():
     loras = make_plain_lora_adapters(jax.random.PRNGKey(0), rank=2)
     merged = merge_extra_loras({}, loras, "pre")
