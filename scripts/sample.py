@@ -20,8 +20,14 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
     p.add_argument("--model_variant", type=str, default="sd15", choices=["sd15", "smoke"])
-    p.add_argument("--control_lora_dir", type=str, required=True,
+    p.add_argument("--control_lora_dir", type=str, default=None,
                    help="directory with config.json + diffusion_pytorch_model.safetensors")
+    p.add_argument("--lora_weights", type=str, default=None,
+                   help="DreamBooth attn-procs LoRA (pytorch_lora_weights.safetensors) "
+                        "— sample with a plain LoRA instead of / in addition to a "
+                        "ControlLoRA (the reference test_dreambooth_lora.py path)")
+    p.add_argument("--prompt", type=str, default=None,
+                   help="fixed prompt (required for --lora_weights-only sampling)")
     p.add_argument("--dataset_name", type=str, default="process/fill50k")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--num_validation_images", type=int, default=4)
@@ -55,23 +61,61 @@ def main(argv=None):
                                    latent_size=args.resolution // 8, param_dtype=dtype)
         print("WARNING: random frozen stack (no pretrained weights)")
 
-    control_params, ccfg = load_control_lora(args.control_lora_dir)
-    if args.model_variant == "smoke" and ccfg.lora_block_out_channels != unet.config.block_out_channels:
-        raise SystemExit("checkpoint was not trained against the smoke UNet")
     tokenizer = default_tokenizer()
+    control_lora = control_params = None
+    if args.control_lora_dir:
+        control_params, ccfg = load_control_lora(args.control_lora_dir)
+        if (args.model_variant == "smoke"
+                and ccfg.lora_block_out_channels != unet.config.block_out_channels):
+            raise SystemExit("checkpoint was not trained against the smoke UNet")
+        control_lora = ControlLoRA(ccfg)
+    extra_loras = None
+    if args.lora_weights:
+        from controllora_tpu.models.lora import AdapterSpec, AttnAdapter
+        from controllora_tpu.utils.torch_compat import (
+            attn_procs_from_torch,
+            load_state_dict,
+        )
+
+        spec = AdapterSpec(kind="lora")
+        extra_loras = {
+            name: AttnAdapter(params=p, spec=spec)
+            for name, p in attn_procs_from_torch(
+                load_state_dict(args.lora_weights)
+            ).items()
+        }
+        print(f"loaded {len(extra_loras)} plain LoRA adapters")
+    if control_lora is None and extra_loras is None:
+        raise SystemExit("need --control_lora_dir and/or --lora_weights")
+
     pipe = StableDiffusionControlLoRAPipeline(
-        unet, vae, text_encoder, tokenizer, frozen,
-        ControlLoRA(ccfg), control_params,
+        unet, vae, text_encoder, tokenizer, frozen, control_lora, control_params,
     )
 
-    ds_cls = DatasetBase.from_name(args.dataset_name)
-    dataset = ds_cls(tokenizer, resolution=args.resolution)
     os.makedirs(args.output_dir, exist_ok=True)
     sample_rng = jax.random.PRNGKey(args.seed)
 
+    if control_lora is None:
+        # plain-LoRA sampling (reference test_dreambooth_lora.py:824-888)
+        for i in range(args.num_validation_images):
+            sample_rng, k = jax.random.split(sample_rng)
+            img = pipe(
+                args.prompt or f"sample {i}",
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                height=args.resolution, width=args.resolution,
+                rng=k, extra_loras=extra_loras,
+            )[0]
+            Image.fromarray(img).save(os.path.join(args.output_dir, f"{i}.png"))
+            print(f"wrote {args.output_dir}/{i}.png")
+        return
+
+    ds_cls = DatasetBase.from_name(args.dataset_name)
+    dataset = ds_cls(tokenizer, resolution=args.resolution)
+
     for i in range(args.num_validation_images):
         item = dataset[i]
-        caption = f"sample {i}"
+        caption = args.prompt or f"sample {i}"
         sample_rng, k = jax.random.split(sample_rng)
         img = pipe(
             caption,
@@ -80,6 +124,7 @@ def main(argv=None):
             guidance_scale=args.guidance_scale,
             rng=k,
             return_array=True,
+            extra_loras=extra_loras,
         )[0]
         montage = DatasetBase.cat_input(item["pixel_values"], item["guide_values"], img)
         Image.fromarray(montage).save(os.path.join(args.output_dir, f"{i}.png"))
