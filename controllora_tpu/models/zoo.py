@@ -79,16 +79,17 @@ def random_frozen(rng: jax.Array, unet, vae, text_encoder, latent_size: int = 8,
                   param_dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Randomly initialized frozen stack (hermetic smoke runs / benchmarks)."""
     k1, k2, k3 = jax.random.split(rng, 3)
-    f = vae.config.block_out_channels  # noqa: F841  (touch config for clarity)
-    unet_p = unet.init(
+    # jitted inits: one compiled program each instead of hundreds of op dispatches
+    # (critical under remote-dispatch TPU runtimes)
+    unet_p = jax.jit(unet.init)(
         k1,
         jnp.zeros((1, latent_size, latent_size, unet.config.in_channels)),
         jnp.array([1]),
         jnp.zeros((1, 77, text_encoder.config.hidden_size)),
     )["params"]
     img = latent_size * 8
-    vae_p = vae.init(k2, jnp.zeros((1, img, img, 3)))["params"]
-    clip_p = text_encoder.init(k3, jnp.zeros((1, 77), jnp.int32))["params"]
+    vae_p = jax.jit(vae.init)(k2, jnp.zeros((1, img, img, 3)))["params"]
+    clip_p = jax.jit(text_encoder.init)(k3, jnp.zeros((1, 77), jnp.int32))["params"]
     return {
         "unet": cast_tree(unet_p, param_dtype),
         "vae": cast_tree(vae_p, param_dtype),

@@ -84,9 +84,11 @@ class StableDiffusionControlLoRAPipeline:
     def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
         """-> (2, 77, hidden): [uncond ‖ cond] context for CFG."""
         ids = self.tokenizer([negative_prompt, prompt])
-        return self.text_encoder.apply(
-            {"params": self.frozen["text"]}, jnp.asarray(ids)
-        )
+        if not hasattr(self, "_encode_jit"):
+            self._encode_jit = jax.jit(
+                lambda p, i: self.text_encoder.apply({"params": p}, i)
+            )
+        return self._encode_jit(self.frozen["text"], jnp.asarray(ids))
 
     # ------------------------------------------------------------------ sampling core
 
@@ -124,8 +126,10 @@ class StableDiffusionControlLoRAPipeline:
         else:
             raise TypeError(f"unsupported scheduler {type(sch).__name__}")
 
-        def sample_fn(latents, ctx, adapters, guidance_scale, lora_scale, fold):
-            unet_params = self.frozen["unet"]
+        def sample_fn(unet_params, vae_params, latents, ctx, adapters, guidance_scale,
+                      lora_scale, fold):
+            # frozen weights are jit ARGUMENTS — closure capture would embed them as
+            # multi-GB HLO constants and cripple (remote) compilation
             if fold and adapters:
                 # collapse the whole adapter stack into the kernels + per-position
                 # biases once — the 20-step loop then runs at plain-SD1.5 cost
@@ -147,12 +151,12 @@ class StableDiffusionControlLoRAPipeline:
 
             state, _ = jax.lax.scan(body, state, jnp.arange(num_inference_steps))
             image = self.vae.apply(
-                {"params": self.frozen["vae"]}, get_sample(state),
-                method=self.vae.decode,
+                {"params": vae_params}, get_sample(state), method=self.vae.decode,
             )
             return image
 
-        fn = jax.jit(sample_fn, static_argnames=("fold",))
+        jitted = jax.jit(sample_fn, static_argnames=("fold",))
+        fn = lambda *a, **kw: jitted(self.frozen["unet"], self.frozen["vae"], *a, **kw)
         self._sample_cache[key] = fn
         return fn
 

@@ -64,14 +64,15 @@ class DreamBoothLoRATrainer:
             for k, p in params.items()
         }
 
-    def _loss_fn(self, params, batch, rng):
+    def _loss_fn(self, params, frozen, batch, rng):
+        # `frozen` threaded as a jit argument (closure capture = multi-GB HLO consts)
         sch = self.scheduler
         rng_sample, rng_noise, rng_t = jax.random.split(rng, 3)
         if "latents" in batch:
             latents = batch["latents"]
         else:
             latents = self.vae.apply(
-                {"params": self.frozen["vae"]}, batch["pixel_values"], rng_sample,
+                {"params": frozen["vae"]}, batch["pixel_values"], rng_sample,
                 method=self.vae.encode,
             )
         latents = latents.astype(jnp.float32)
@@ -82,7 +83,7 @@ class DreamBoothLoRATrainer:
         if "encoder_hidden_states" in batch:
             ctx = batch["encoder_hidden_states"]
         else:
-            ctx = self.text_encoder.apply({"params": self.frozen["text"]}, batch["input_ids"])
+            ctx = self.text_encoder.apply({"params": frozen["text"]}, batch["input_ids"])
 
         adapters = self._adapters_from(params)
         unet_apply = self.unet.apply
@@ -90,7 +91,7 @@ class DreamBoothLoRATrainer:
             unet_apply = jax.checkpoint(
                 self.unet.apply, policy=jax.checkpoint_policies.nothing_saveable
             )
-        pred = unet_apply({"params": self.frozen["unet"]}, noisy, t, ctx, adapters)
+        pred = unet_apply({"params": frozen["unet"]}, noisy, t, ctx, adapters)
         target = sch.training_target(latents, noise, t)
 
         if self.with_prior_preservation:
@@ -103,8 +104,10 @@ class DreamBoothLoRATrainer:
         return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
     def make_train_step(self) -> Callable:
-        def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
-            loss, grads = jax.value_and_grad(self._loss_fn)(state.params, batch, rng)
+        def step_fn(state: TrainState, frozen, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                state.params, frozen, batch, rng
+            )
             updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (
@@ -115,6 +118,8 @@ class DreamBoothLoRATrainer:
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
-            return jax.jit(step_fn, in_shardings=(repl, data, repl),
-                           out_shardings=(repl, repl), donate_argnums=(0,))
-        return jax.jit(step_fn, donate_argnums=(0,))
+            jitted = jax.jit(step_fn, in_shardings=(repl, repl, data, repl),
+                             out_shardings=(repl, repl), donate_argnums=(0,))
+        else:
+            jitted = jax.jit(step_fn, donate_argnums=(0,))
+        return lambda state, batch, rng: jitted(state, self.frozen, batch, rng)

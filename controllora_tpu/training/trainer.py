@@ -126,9 +126,13 @@ class ControlLoRATrainer:
 
     # ------------------------------------------------------------------ loss
 
-    def _loss_fn(self, params, batch, rng):
+    def _loss_fn(self, params, frozen, batch, rng):
         """batch: {"latents" or "pixel_values", "guide_values", "input_ids" or
-        "encoder_hidden_states"} — NHWC images in [-1,1]."""
+        "encoder_hidden_states"} — NHWC images in [-1,1].
+
+        `frozen` is threaded as a jit ARGUMENT, never captured: closure-captured
+        frozen weights become multi-GB HLO constants, which bloats lowering and
+        cripples (remote) compilation."""
         sch = self.scheduler
         rng_sample, rng_noise, rng_t = jax.random.split(rng, 3)
 
@@ -136,7 +140,7 @@ class ControlLoRATrainer:
             latents = batch["latents"]
         else:
             latents = self.vae.apply(
-                {"params": self.frozen["vae"]},
+                {"params": frozen["vae"]},
                 batch["pixel_values"],
                 rng_sample,
                 method=self.vae.encode,
@@ -152,7 +156,7 @@ class ControlLoRATrainer:
             ctx = batch["encoder_hidden_states"]
         else:
             ctx = self.text_encoder.apply(
-                {"params": self.frozen["text"]}, batch["input_ids"]
+                {"params": frozen["text"]}, batch["input_ids"]
             )
 
         adapters = self.control_lora(params, batch["guide_values"], self.unet.config)
@@ -162,7 +166,7 @@ class ControlLoRATrainer:
             unet_apply = jax.checkpoint(
                 self.unet.apply, static_argnums=(), policy=jax.checkpoint_policies.nothing_saveable
             )
-        pred = unet_apply({"params": self.frozen["unet"]}, noisy, t, ctx, adapters)
+        pred = unet_apply({"params": frozen["unet"]}, noisy, t, ctx, adapters)
 
         target = sch.training_target(latents, noise, t)
         loss = (pred.astype(jnp.float32) - target) ** 2
@@ -177,13 +181,18 @@ class ControlLoRATrainer:
 
     def make_train_step(self) -> Callable:
         """Build the jitted train step. Under a mesh, batch arrives sharded over 'data'
-        and the state replicated; XLA emits the gradient all-reduce."""
+        and the state replicated; XLA emits the gradient all-reduce.
 
-        def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
+        Returns a wrapper with the historical (state, batch, rng) signature; the
+        frozen stack is threaded as an argument of the underlying jit (see _loss_fn)."""
+
+        def step_fn(state: TrainState, frozen, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
             # rng is used as given — the driver derives a per-step key
             # (jax.random.fold_in(run_key, step)); keeping derivation outside makes
             # fixed-noise overfit tests and recorded-noise parity runs possible.
-            loss, grads = jax.value_and_grad(self._loss_fn)(state.params, batch, rng)
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                state.params, frozen, batch, rng
+            )
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -197,20 +206,25 @@ class ControlLoRATrainer:
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
-            return jax.jit(
+            jitted = jax.jit(
                 step_fn,
-                in_shardings=(repl, data, repl),
+                in_shardings=(repl, repl, data, repl),
                 out_shardings=(repl, repl),
                 donate_argnums=(0,),
             )
-        return jax.jit(step_fn, donate_argnums=(0,))
+        else:
+            jitted = jax.jit(step_fn, donate_argnums=(0,))
+        return lambda state, batch, rng: jitted(state, self.frozen, batch, rng)
 
     def make_eval_step(self) -> Callable:
-        def eval_fn(state: TrainState, batch, rng):
-            return self._loss_fn(state.params, batch, rng)
+        def eval_fn(state: TrainState, frozen, batch, rng):
+            return self._loss_fn(state.params, frozen, batch, rng)
 
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
-            return jax.jit(eval_fn, in_shardings=(repl, data, repl), out_shardings=repl)
-        return jax.jit(eval_fn)
+            jitted = jax.jit(eval_fn, in_shardings=(repl, repl, data, repl),
+                             out_shardings=repl)
+        else:
+            jitted = jax.jit(eval_fn)
+        return lambda state, batch, rng: jitted(state, self.frozen, batch, rng)
