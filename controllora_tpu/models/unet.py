@@ -205,16 +205,29 @@ class CrossAttention(nn.Module):
             # inference fast path: adapters pre-folded into kernels (ops/folding.py);
             # only the precomputed per-position biases remain
             q = dense(inner, self.dtype, "to_q", use_bias=False)(hidden)
-            if stack.q_bias is not None:
-                q = q + stack.q_bias.astype(q.dtype)
             ctx_in = hidden if ctx is None else ctx
             k = dense(inner, self.dtype, "to_k", use_bias=False)(ctx_in)
             v = dense(inner, self.dtype, "to_v", use_bias=False)(ctx_in)
-            if stack.k_bias is not None:
-                k = k + stack.k_bias.astype(k.dtype)
-            if stack.v_bias is not None:
-                v = v + stack.v_bias.astype(v.dtype)
-            attn = dot_product_attention(q, k, v, self.heads)
+            L = hidden.shape[1]
+            if (ctx is None and L >= 2048 and L % 512 == 0
+                    and jax.default_backend() in ("tpu", "axon")):
+                # first-party fused kernel: bias adds + flash in one pallas call
+                # (2.17 ms vs 2.33 stock / 4.69 XLA at L=4096 on v5e)
+                from controllora_tpu.ops.pallas_attention import biased_attention
+
+                attn = biased_attention(
+                    q, k, v, self.heads,
+                    q_bias=stack.q_bias, k_bias=stack.k_bias, v_bias=stack.v_bias,
+                    block=1024,
+                )
+            else:
+                if stack.q_bias is not None:
+                    q = q + stack.q_bias.astype(q.dtype)
+                if stack.k_bias is not None:
+                    k = k + stack.k_bias.astype(k.dtype)
+                if stack.v_bias is not None:
+                    v = v + stack.v_bias.astype(v.dtype)
+                attn = dot_product_attention(q, k, v, self.heads)
             out = dense(inner, self.dtype, "to_out_0", use_bias=self.out_bias)(attn)
             if stack.out_bias is not None:
                 out = out + stack.out_bias.astype(out.dtype)

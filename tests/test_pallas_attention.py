@@ -1,0 +1,49 @@
+"""First-party pallas flash kernel: interpret-mode exactness vs reference attention."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    yield
+
+
+def ref_attention(q, k, v):
+    s = jnp.einsum("bld,bkd->blk", q, k) * (q.shape[-1] ** -0.5)
+    return jnp.einsum("blk,bkd->bld", jax.nn.softmax(s, -1), v)
+
+
+@pytest.mark.parametrize("bq,bk", [(256, 256), (256, 128), (128, 256), (64, 64)])
+def test_flash_fwd_exact(bq, bk):
+    from controllora_tpu.ops.pallas_attention import flash_attention_fwd
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 40), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 40), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 256, 40), jnp.float32)
+    out = flash_attention_fwd(q, k, v, block_q=bq, block_k=bk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_attention(q, k, v)),
+                               atol=2e-6)
+
+
+def test_biased_attention_matches_unfused():
+    from controllora_tpu.ops.attention import dot_product_attention
+    from controllora_tpu.ops.pallas_attention import biased_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(4), (2, 256, 80))
+    k = jax.random.normal(jax.random.PRNGKey(5), (2, 256, 80))
+    v = jax.random.normal(jax.random.PRNGKey(6), (2, 256, 80))
+    qb = jax.random.normal(jax.random.PRNGKey(3), (1, 256, 80)) * 0.2
+    kb = jax.random.normal(jax.random.PRNGKey(7), (1, 256, 80)) * 0.1
+    out = biased_attention(q, k, v, heads=2, q_bias=qb, k_bias=kb, block=128)
+    ref = dot_product_attention(q + qb, k + kb, v, heads=2, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
