@@ -197,6 +197,18 @@ class ControlLoRA:
 
         return cls(load_config(path_or_name), dtype)
 
+    @classmethod
+    def from_pretrained(
+        cls, path: str, dtype: Any = jnp.float32
+    ) -> Tuple["ControlLoRA", Dict[str, Any]]:
+        """Load a saved (or reference-published) artifact directory; returns
+        (model, params) — the reference's `ControlLoRA.from_pretrained` entry point
+        (reference apps/gradio_canny2image.py:38)."""
+        from controllora_tpu.training.checkpoint import load_control_lora
+
+        params, cfg = load_control_lora(path)
+        return cls(cfg, dtype), params
+
     # ------------------------------------------------------------------ params
 
     def init(self, rng: jax.Array, image_size: int = 512) -> Dict[str, Any]:
