@@ -136,8 +136,10 @@ def biased_attention(
     qf = prep(query, q_bias)
     kf = prep(key, k_bias)
     vf = prep(value, v_bias)
-    # tuned on v5e at L=4096 D=40: block_q 2048 / block_k 1024 -> 2.17 ms
-    blk_q = min(2 * block, l)
+    # tuned on v5e at L=4096 D=40: block_q 512 / block_k 1024 -> ~2.2-2.6 ms
+    # (block_q 2048 measured 2.17 ms but exceeds the 16M scoped-VMEM budget once
+    # the pipeline double-buffers at batch >= 4)
+    blk_q = min(block // 2, l)
     blk_k = min(block, key.shape[1])
     out = flash_attention_fwd(qf, kf, vf, block_q=blk_q, block_k=blk_k)
     return (
