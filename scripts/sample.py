@@ -32,6 +32,8 @@ def parse_args(argv=None):
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--num_validation_images", type=int, default=4)
     p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--scheduler", type=str, default="dpm++",
+                   choices=["dpm++", "ddim", "pndm"])
     p.add_argument("--guidance_scale", type=float, default=9.0)
     p.add_argument("--output_dir", type=str, default="samples/run")
     p.add_argument("--seed", type=int, default=42)
@@ -88,8 +90,15 @@ def main(argv=None):
     if control_lora is None and extra_loras is None:
         raise SystemExit("need --control_lora_dir and/or --lora_weights")
 
+    from controllora_tpu.schedulers import (
+        DDIMScheduler, DPMSolverMultistepScheduler, PNDMScheduler,
+    )
+
+    scheduler = {"dpm++": DPMSolverMultistepScheduler, "ddim": DDIMScheduler,
+                 "pndm": PNDMScheduler}[args.scheduler]()
     pipe = StableDiffusionControlLoRAPipeline(
         unet, vae, text_encoder, tokenizer, frozen, control_lora, control_params,
+        scheduler=scheduler,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
