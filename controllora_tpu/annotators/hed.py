@@ -10,7 +10,6 @@ threshold, reference :117-132) runs as XLA ops.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional
 
 import jax

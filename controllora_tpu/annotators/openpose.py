@@ -17,7 +17,7 @@ data-dependent and tiny). Weights import from the CMU `body_pose_model.pth` /
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 import queue
 import subprocess
-import sys
 import sysconfig
 import threading
 from typing import Dict, Iterator, Optional

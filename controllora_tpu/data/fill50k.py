@@ -10,7 +10,7 @@ smoke tests and benchmarks run hermetically. Also registered under
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -13,7 +13,7 @@ Trainable parameters = hint-encoder convs + all adapter LoRA factors, one flat p
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

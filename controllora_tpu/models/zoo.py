@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import glob
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ pads head_dim to the 128-lane boundary inside VMEM.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

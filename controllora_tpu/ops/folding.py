@@ -26,12 +26,10 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 
 from controllora_tpu.models.lora import AdapterStack, AttnAdapter
-from controllora_tpu.models import unet as unet_lib
 
 
 @struct.dataclass

@@ -16,8 +16,7 @@ broadcasts (or repeat-interleaves under concat_hidden, reference models.py:209-2
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,6 @@ from controllora_tpu.models.unet import UNet2DConditionModel
 from controllora_tpu.models.vae import AutoencoderKL
 from controllora_tpu.schedulers import (
     DDIMScheduler,
-    DiffusionSchedule,
     DPMSolverMultistepScheduler,
     PNDMScheduler,
 )

@@ -10,9 +10,6 @@ prediction.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

@@ -12,8 +12,6 @@ whole sampling run is a single `lax.scan` over the UNet.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

@@ -15,7 +15,6 @@ import re
 from typing import Any, Optional, Tuple
 
 import jax
-import numpy as np
 
 try:
     import orbax.checkpoint as ocp

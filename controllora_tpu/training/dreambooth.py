@@ -13,7 +13,6 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from controllora_tpu.models.lora import AttnAdapter, make_plain_lora_adapters

@@ -20,7 +20,6 @@ train_text_to_image_control_lora.py:741-867, SURVEY.md §3.1):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
