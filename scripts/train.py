@@ -38,7 +38,13 @@ def parse_args(argv=None):
     p.add_argument("--prediction_type", type=str, default=None)
     p.add_argument("--snr_gamma", type=float, default=None)
     # data
-    p.add_argument("--dataset_name", type=str, default="process/fill50k")
+    p.add_argument("--dataset_name", type=str, default="process/fill50k",
+                   help="process/<registry name>, a hub dataset id, or a local "
+                        "imagefolder directory (reference column conventions)")
+    p.add_argument("--dataset_config_name", type=str, default=None)
+    p.add_argument("--image_column", type=str, default=None)
+    p.add_argument("--guide_column", type=str, default=None)
+    p.add_argument("--caption_column", type=str, default=None)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--max_train_samples", type=int, default=None)
     # optimization (reference defaults: train:188, 209-255)
@@ -159,10 +165,27 @@ def main(argv=None):
 
     # ---- data
     tokenizer = default_tokenizer()
-    ds_cls = DatasetBase.from_name(args.dataset_name)
-    dataset = ds_cls(tokenizer, resolution=args.resolution)
-    if args.max_train_samples:
-        dataset.size = min(len(dataset), args.max_train_samples)
+    if args.dataset_name.startswith("process/"):
+        ds_cls = DatasetBase.from_name(args.dataset_name)
+        dataset = ds_cls(tokenizer, resolution=args.resolution)
+        if args.max_train_samples:
+            dataset.size = min(len(dataset), args.max_train_samples)
+    else:
+        # hub dataset / local imagefolder with (image, guide, text) columns
+        # (reference train:553-566, 592-635)
+        from controllora_tpu.data.hf_dataset import HFImageGuideDataset
+
+        dataset = HFImageGuideDataset(
+            tokenizer,
+            dataset_name=args.dataset_name,
+            dataset_config_name=args.dataset_config_name,
+            resolution=args.resolution,
+            image_column=args.image_column,
+            guide_column=args.guide_column,
+            caption_column=args.caption_column,
+            seed=args.seed,
+            max_train_samples=args.max_train_samples,
+        )
     global_batch = args.train_batch_size * n_dev
     batches = None
     if args.dataset_name == "process/fill50k":
