@@ -45,7 +45,7 @@ def build_processor(args):
     control_params, ccfg = load_control_lora(args.control_lora_dir)
     pipe = StableDiffusionControlLoRAPipeline(
         unet, vae, text_encoder, default_tokenizer(), frozen,
-        ControlLoRA(ccfg), control_params,
+        ControlLoRA(ccfg, dtype=dtype), control_params,
     )
     body_params = None
     if args.openpose_weights:

