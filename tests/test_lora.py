@@ -201,6 +201,33 @@ def test_output_chain_main_control_unconditional():
     np.testing.assert_allclose(np.asarray(adapt_output(plain, out, attn_h, 1.0)), 0.0)
 
 
+def test_control_adapter_in_pre_chain():
+    """A ControlLoRA processor can itself sit in a pre-chain: its control term is
+    folded into the pre-LoRA's q input (reference models.py:232-236)."""
+    B, L, H, C = 1, 4, 8, 6
+    h = jax.random.normal(jax.random.PRNGKey(1), (B, L, H))
+    q = jnp.zeros((B, L, H))
+    c = jax.random.normal(jax.random.PRNGKey(2), (B, L, C))
+    pre_params = {
+        "to_q": rand_lora(jax.random.PRNGKey(3), H, H),
+        "to_control": rand_lora(jax.random.PRNGKey(4), C, H),
+    }
+    main_params = {
+        "to_q": rand_lora(jax.random.PRNGKey(5), H, H),
+        "to_control": rand_lora(jax.random.PRNGKey(6), C, H),
+    }
+    spec = AdapterSpec(kind="control_v1", control_self_add=False)
+    pre = AttnAdapter(params=pre_params, control=c, spec=spec)
+    main = AttnAdapter(params=main_params, control=c, spec=spec)
+    got = adapt_query(AdapterStack(main=main, pre=(pre,)), q, h, 1.0)
+
+    ctrl_pre = np_lora(pre_params["to_control"], c)
+    q1 = np_lora(pre_params["to_q"], np.asarray(h) + ctrl_pre)
+    ctrl_main = np_lora(main_params["to_control"], c)
+    expect = q1 + np_lora(main_params["to_q"], np.asarray(h) + ctrl_main)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4)
+
+
 def test_init_adapter_params_structure():
     spec_v1 = AdapterSpec(kind="control_v1", concat_hidden=True)
     p = init_adapter_params(RNG, 320, 768, 4, spec_v1, control_rank=8, control_channels=256)
