@@ -165,6 +165,45 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_eval_step():
+    trainer = make_tiny_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=64)
+    eval_fn = trainer.make_eval_step()
+    loss = eval_fn(state, make_batch(2), jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss))
+
+
+def test_dreambooth_prior_preservation():
+    """Chunked dual loss: instance ‖ class halves (reference
+    train_dreambooth_lora.py:898-910)."""
+    from controllora_tpu.training.dreambooth import DreamBoothLoRATrainer
+
+    unet = UNet2DConditionModel(TINY_UNET)
+    unet_params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)), jnp.array([1]),
+        jnp.zeros((1, 77, 768)),
+    )["params"]
+    trainer = DreamBoothLoRATrainer(
+        unet=unet, frozen={"unet": unet_params}, rank=2,
+        optimizer=make_optimizer(learning_rate=1e-3),
+        with_prior_preservation=True, prior_loss_weight=0.7, remat_unet=False,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    step = trainer.make_train_step()
+    # batch = instance(2) ‖ class(2)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(2), (4, 8, 8, 4)) * 0.4,
+        "encoder_hidden_states": jax.random.normal(
+            jax.random.PRNGKey(3), (4, 77, 768)) * 0.02,
+    }
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # fixed-noise overfit decreases
+
+
 def test_fill50k_synthetic():
     ds = Fill50kSynthetic(resolution=64, size=100, seed=1)
     assert len(ds) == 100
