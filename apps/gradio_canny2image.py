@@ -43,7 +43,7 @@ def build_processor(args):
         print("WARNING: random frozen stack (no pretrained weights)")
     control_params, ccfg = load_control_lora(args.control_lora_dir)
     pipe = StableDiffusionControlLoRAPipeline(
-        unet, vae, text_encoder, default_tokenizer(), frozen,
+        unet, vae, text_encoder, default_tokenizer(require_clip=bool(args.pretrained_model_name_or_path)), frozen,
         ControlLoRA(ccfg, dtype=dtype), control_params,
     )
     apply_canny = CannyDetector()

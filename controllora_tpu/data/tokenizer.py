@@ -201,9 +201,15 @@ class HashTokenizer:
         return out
 
 
-def default_tokenizer(assets_dir: Optional[str] = None):
+def default_tokenizer(assets_dir: Optional[str] = None, require_clip: bool = False):
     """Real CLIP BPE if vocab assets exist (looked up in assets_dir or $CLIP_VOCAB_DIR),
-    else the hash fallback."""
+    else the hash fallback.
+
+    require_clip: set when the caller runs real SD1.5 weights — text embeddings from
+    non-CLIP ids would silently garbage-condition every sample, so falling back to
+    HashTokenizer must be an error, not a default (reference consumes the real
+    CLIPTokenizer at train_text_to_image_control_lora.py:400).
+    """
     cand = assets_dir or os.environ.get("CLIP_VOCAB_DIR")
     if cand:
         merges = None
@@ -217,4 +223,24 @@ def default_tokenizer(assets_dir: Optional[str] = None):
             return CLIPBPETokenizer.from_files(
                 vocab if os.path.exists(vocab) else None, merges
             )
+        if require_clip:
+            raise FileNotFoundError(
+                f"CLIP vocab assets not found in {cand!r} (need merges.txt or "
+                "bpe_simple_vocab_16e6.txt.gz). Refusing to hash-tokenize against "
+                "pretrained CLIP weights."
+            )
+    if require_clip:
+        raise FileNotFoundError(
+            "Pretrained SD1.5 weights are in use but no CLIP vocab assets were found. "
+            "Set $CLIP_VOCAB_DIR (or pass assets_dir) to a directory containing "
+            "vocab.json + merges.txt; HashTokenizer ids are NOT CLIP ids and would "
+            "garbage-condition every sample."
+        )
+    import warnings
+
+    warnings.warn(
+        "default_tokenizer: no CLIP vocab assets; using HashTokenizer (hermetic ids, "
+        "NOT CLIP-compatible). Fine for smoke/bench runs only.",
+        stacklevel=2,
+    )
     return HashTokenizer()

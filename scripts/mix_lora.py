@@ -68,7 +68,7 @@ def main(argv=None):
           f"({ccfg.lora_control_version=})")
 
     pipe = StableDiffusionControlLoRAPipeline(
-        unet, vae, text_encoder, default_tokenizer(), frozen,
+        unet, vae, text_encoder, default_tokenizer(require_clip=bool(args.pretrained_model_name_or_path)), frozen,
         ControlLoRA(ccfg, dtype=dtype), control_params,
     )
 

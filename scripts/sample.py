@@ -63,7 +63,7 @@ def main(argv=None):
                                    latent_size=args.resolution // 8, param_dtype=dtype)
         print("WARNING: random frozen stack (no pretrained weights)")
 
-    tokenizer = default_tokenizer()
+    tokenizer = default_tokenizer(require_clip=bool(args.pretrained_model_name_or_path))
     control_lora = control_params = None
     if args.control_lora_dir:
         control_params, ccfg = load_control_lora(args.control_lora_dir)

@@ -164,7 +164,7 @@ def main(argv=None):
     )
 
     # ---- data
-    tokenizer = default_tokenizer()
+    tokenizer = default_tokenizer(require_clip=bool(args.pretrained_model_name_or_path))
     if args.dataset_name.startswith("process/"):
         ds_cls = DatasetBase.from_name(args.dataset_name)
         dataset = ds_cls(tokenizer, resolution=args.resolution)

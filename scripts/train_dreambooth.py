@@ -77,7 +77,7 @@ def main(argv=None):
                                    latent_size=args.resolution // 8, param_dtype=dtype)
         print("WARNING: random frozen stack (hermetic smoke mode)")
 
-    tokenizer = default_tokenizer()
+    tokenizer = default_tokenizer(require_clip=bool(args.pretrained_model_name_or_path))
 
     if args.with_prior_preservation and args.sample_class_images:
         # generate class images with the frozen base (reference :580-637)
