@@ -246,6 +246,319 @@ def pred_lines(
     return lines
 
 
+DEFAULT_SQUARE_PARAMS = {
+    "score": 0.06,
+    "outside_ratio": 0.28,
+    "inside_ratio": 0.45,
+    "w_overlap": 0.0,
+    "w_degree": 1.95,
+    "w_length": 0.0,
+    "w_area": 1.86,
+    "w_center": 0.14,
+}
+
+
+def _maxfilter5(a: np.ndarray) -> np.ndarray:
+    """5x5 max filter, SAME padding (the reference's F.max_pool2d NMS on the hough
+    accumulator, utils.py:180-183)."""
+    p = np.pad(a, 2, constant_values=-np.inf)
+    out = np.full_like(a, -np.inf)
+    for dy in range(5):
+        for dx in range(5):
+            np.maximum(out, p[dy : dy + a.shape[0], dx : dx + a.shape[1]], out)
+    return out
+
+
+def squares_from_segments(
+    segments: np.ndarray,
+    topk_len: int,
+    params: Dict[str, float],
+    input_shape=(512, 512),
+    original_shape=None,
+):
+    """Square/quad detection from decoded line segments — the post-processing half of
+    the reference's pred_squares (reference annotator/mlsd/utils.py:137-580), factored
+    out so it is testable on synthetic scenes without trained weights.
+
+    segments: (N, 4) [x0,y0,x1,y1] in the model's half-resolution (256) frame.
+    Returns (merged_segments, squares, scores, inter_points) in original-image coords
+    (squares sorted by score, descending).
+    """
+    original_shape = original_shape or input_shape
+    empty = (np.zeros((0, 4), np.float32), np.zeros((0, 4, 2), np.float32),
+             np.zeros((0,), np.float32), np.zeros((0, 2), np.float32))
+    if len(segments) == 0:
+        return empty
+    segments = np.asarray(segments, np.float64)
+
+    # ---- 1. merge near-collinear segments on a quantized hough grid (utils.py:139-227)
+    start, end = segments[:, :2], segments[:, 2:]
+    diff = start - end
+    a = diff[:, 1]
+    b = -diff[:, 0]
+    c = a * start[:, 0] + b * start[:, 1]
+    d = np.abs(-c) / np.sqrt(a**2 + b**2 + 1e-10)  # distance of line to (0,0)
+    theta = np.arctan2(diff[:, 0], diff[:, 1]) * 180 / np.pi
+    theta[theta < 0.0] += 180
+
+    dq = np.floor(d).astype(np.int64)  # d_quant=1
+    tq = np.floor(theta / 2).astype(np.int64)  # theta_quant=2
+    acc_map = np.zeros((512 + 1, 180 + 1), np.float32)
+    idx_map = np.full((512 + 1, 180 + 1), -1, np.int32)
+    cells: Dict[Tuple[int, int], list] = {}
+    for si in range(len(segments)):
+        cell = (int(dq[si]), int(tq[si]))
+        if cell[0] > 512 or cell[1] > 180:
+            continue
+        cells.setdefault(cell, []).append(si)
+    for cell, idxs in cells.items():
+        acc_map[cell] = len(idxs)
+        idx_map[cell] = min(idxs)  # np.unique keeps the first occurrence
+
+    nms = acc_map * (acc_map == _maxfilter5(acc_map))
+    flat = nms.reshape(-1)
+    k = min(topk_len, flat.size)
+    order = np.argsort(flat)[::-1][:k]
+    W = acc_map.shape[1]
+
+    merged_segments = []
+    for fi in order:
+        y, x = int(fi) // W, int(fi) % W
+        max_indice = idx_map[y, x]
+        if max_indice == -1 or flat[fi] == 0:
+            continue
+        group = []
+        for yo in range(-2, 3):
+            for xo in range(-2, 3):
+                yy, xx = y + yo, x + xo
+                if 0 <= yy < acc_map.shape[0] and 0 <= xx < acc_map.shape[1]:
+                    group.extend(cells.get((yy, xx), []))
+        pts = segments[group].reshape(-1, 2)
+        srt = np.sort(pts, axis=0)
+        x_min, y_min = srt[0]
+        x_max, y_max = srt[-1]
+        if theta[max_indice] >= 90:
+            merged_segments.append([x_min, y_max, x_max, y_min])
+        else:
+            merged_segments.append([x_min, y_min, x_max, y_max])
+    if len(merged_segments) < 4:
+        return empty
+
+    # ---- 2. pairwise line intersections (utils.py:229-248)
+    new_segments = np.asarray(merged_segments, np.float64)
+    start, end = new_segments[:, :2], new_segments[:, 2:]
+    new_centers = (start + end) / 2.0
+    diff = start - end
+    dist_segments = np.sqrt(np.sum(diff**2, axis=-1))
+    a = diff[:, 1]
+    b = -diff[:, 0]
+    c = a * start[:, 0] + b * start[:, 1]
+    pre_det = a[:, None] * b[None, :]
+    det = pre_det - pre_det.T
+    pre_iy = a[:, None] * c[None, :]
+    inter_y = (pre_iy - pre_iy.T) / (det + 1e-10)
+    pre_ix = c[:, None] * b[None, :]
+    inter_x = (pre_ix - pre_ix.T) / (det + 1e-10)
+    # near-parallel pairs intersect at ~inf; clip to a finite sentinel before the int
+    # cast (the distance checks below reject them regardless)
+    inter_pts = np.stack([inter_x, inter_y], axis=-1)
+    inter_pts = np.clip(np.nan_to_num(inter_pts, posinf=1e9, neginf=-1e9),
+                        -2**31 + 1, 2**31 - 1).astype(np.int32)
+
+    # ---- 3. corner classification (utils.py:250-352)
+    d1s = np.sqrt(np.sum((inter_pts - start[:, None, :]) ** 2, -1, keepdims=True))
+    d1e = np.sqrt(np.sum((inter_pts - end[:, None, :]) ** 2, -1, keepdims=True))
+    d2s = np.sqrt(np.sum((inter_pts - start[None, :, :]) ** 2, -1, keepdims=True))
+    d2e = np.sqrt(np.sum((inter_pts - end[None, :, :]) ** 2, -1, keepdims=True))
+    dist1 = np.sort(np.concatenate([d1s, d1e], -1), -1)  # (N, N, 2)
+    dist2 = np.sort(np.concatenate([d2s, d2e], -1), -1)
+
+    v1 = new_centers[:, None, :] - inter_pts
+    deg1 = np.arctan2(v1[:, :, 1], v1[:, :, 0]) * 180 / np.pi
+    deg1[deg1 < 0] += 360
+    v2 = new_centers[None, :, :] - inter_pts
+    deg2 = np.arctan2(v2[:, :, 1], v2[:, :, 0]) * 180 / np.pi
+    deg2[deg2 < 0] += 360
+    deg_sort = np.sort(np.stack([deg1, deg2], -1), -1)
+    deg_diff = np.abs(deg1 - deg2)
+    deg_diff[deg_diff > 180] = 360 - deg_diff[deg_diff > 180]
+
+    o_r, i_r = params["outside_ratio"], params["inside_ratio"]
+    corner_dict: Dict[int, list] = {ci: [] for ci in range(4)}
+    inter_points = []
+    n = len(new_segments)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not (60 < deg_diff[i, j] < 120):
+                continue
+            ok1 = (dist1[i, j, 1] >= dist_segments[i]
+                   and dist1[i, j, 0] <= dist_segments[i] * o_r) or (
+                dist1[i, j, 1] <= dist_segments[i]
+                and dist1[i, j, 0] <= dist_segments[i] * i_r)
+            ok2 = (dist2[i, j, 1] >= dist_segments[j]
+                   and dist2[i, j, 0] <= dist_segments[j] * o_r) or (
+                dist2[i, j, 1] <= dist_segments[j]
+                and dist2[i, j, 0] <= dist_segments[j] * i_r)
+            if not (ok1 and ok2):
+                continue
+            x, y = inter_pts[i, j]
+            da, db = deg_sort[i, j]
+            if (0 <= da <= 45 and 45 <= db <= 120) or (db >= 315 and 45 <= da <= 120):
+                ci = 0
+            elif 45 <= da <= 125 and 125 <= db <= 225:
+                ci = 1
+            elif 125 <= da <= 225 and 225 <= db <= 315:
+                ci = 2
+            elif (0 <= da <= 45 and 225 <= db <= 315) or (db >= 315 and 225 <= da <= 315):
+                ci = 3
+            else:
+                continue
+            corner_dict[ci].append([int(x), int(y), i, j])
+            inter_points.append([int(x), int(y)])
+
+    # ---- 4. assemble squares from corners sharing lines (utils.py:354-404)
+    square_list, connect_list, segments_list = [], [], []
+    for c0 in corner_dict[0]:
+        for c1 in corner_dict[1]:
+            l01 = next((l for l in c0[2:] if l in c1[2:]), None)
+            if l01 is None:
+                continue
+            for c2 in corner_dict[2]:
+                l12 = next((l for l in c1[2:] if l in c2[2:]), None)
+                if l12 is None:
+                    continue
+                for c3 in corner_dict[3]:
+                    l23 = next((l for l in c2[2:] if l in c3[2:]), None)
+                    if l23 is None:
+                        continue
+                    for l30 in c3[2:]:
+                        if l30 in c0[2:]:
+                            square_list.append(c0[:2] + c1[:2] + c2[:2] + c3[:2])
+                            connect_list.append([l01, l12, l23, l30])
+                            segments_list.append(c0[2:] + c1[2:] + c2[2:] + c3[2:])
+
+    def rescale_segs(segs):
+        segs = np.asarray(segs, np.float32)
+        if len(segs):
+            segs[:, 0::2] *= 2 / input_shape[1] * original_shape[1]
+            segs[:, 1::2] *= 2 / input_shape[0] * original_shape[0]
+        return segs
+
+    ipts = np.asarray(inter_points, np.float32).reshape(-1, 2)
+    if len(ipts):
+        ipts[:, 0] *= 2 / input_shape[1] * original_shape[1]
+        ipts[:, 1] *= 2 / input_shape[0] * original_shape[0]
+    if not square_list:
+        return (rescale_segs(new_segments), np.zeros((0, 4, 2), np.float32),
+                np.zeros((0,), np.float32), ipts)
+
+    # ---- 5. score + rank squares (utils.py:421-549)
+    map_size = input_shape[0] / 2
+    squares = np.asarray(square_list, np.float64).reshape(-1, 4, 2)
+    connect_array = np.asarray(connect_list)
+    segments_array = np.asarray(segments_list).reshape(-1, 4, 2)
+
+    vec1 = np.roll(squares, 1, axis=1) - squares
+    vec1 /= np.linalg.norm(vec1, axis=-1, keepdims=True) + 1e-10
+    vec2 = np.roll(squares, -1, axis=1) - squares
+    vec2 /= np.linalg.norm(vec2, axis=-1, keepdims=True) + 1e-10
+    sq_degree = np.arccos(np.clip(np.sum(vec1 * vec2, -1), -1, 1)) * 180 / np.pi
+
+    def check_outside_inside(seg_info, connect_idx):
+        mat = dist1 if connect_idx == seg_info[0] else dist2
+        i, j = seg_info
+        min_d, max_d = mat[i, j]
+        if max_d > dist_segments[connect_idx]:
+            return min_d, 0, 1  # outside: min_dist, cover_param, peri_param
+        return min_d, -1, -1  # inside
+
+    overlap_scores, degree_scores, length_scores = [], [], []
+    for connects, segs, square, degree in zip(
+        connect_array, segments_array, squares, sq_degree
+    ):
+        cover = perimeter = 0.0
+        square_length = []
+        for s_idx in range(4):
+            e_idx = (s_idx + 1) % 4
+            cidx = connects[s_idx]
+            s_min, s_cov, s_per = check_outside_inside(segs[s_idx], cidx)
+            e_min, e_cov, e_per = check_outside_inside(segs[e_idx], cidx)
+            cover += dist_segments[cidx] + s_cov * s_min + e_cov * e_min
+            peri = dist_segments[cidx] + s_per * s_min + e_per * e_min
+            perimeter += peri
+            square_length.append(peri)
+        overlap_scores.append(cover / perimeter)
+        d0, d1_, d2_, d3 = degree
+        r1 = d0 / d2_ if d0 / d2_ <= 1.0 else d2_ / d0
+        r2 = d1_ / d3 if d1_ / d3 <= 1.0 else d3 / d1_
+        degree_scores.append((r1 + r2) / 2)
+        l0, l1, l2, l3 = square_length
+        lr1 = l0 / l2 if l2 > l0 else l2 / l0
+        lr2 = l1 / l3 if l3 > l1 else l3 / l1
+        length_scores.append((lr1 + lr2) / 2)
+
+    overlap_scores = np.asarray(overlap_scores)
+    overlap_scores /= np.max(overlap_scores)
+    degree_scores = np.asarray(degree_scores)
+    length_scores = np.asarray(length_scores)
+
+    ax_, ay_ = squares[:, :, 0], squares[:, :, 1]
+    correction = ax_[:, -1] * ay_[:, 0] - ay_[:, -1] * ax_[:, 0]
+    area = np.sum(ax_[:, :-1] * ay_[:, 1:], -1) - np.sum(ay_[:, :-1] * ax_[:, 1:], -1)
+    area_scores = 0.5 * np.abs(area + correction) / (map_size * map_size)
+
+    # reference quirk preserved: center2center is a SCALAR (np.sum without axis,
+    # utils.py:532) — a constant shift that cannot change the ranking
+    centers = np.array([[map_size / 2, map_size / 2]], np.float64)
+    center2center = np.sqrt(np.sum((centers - np.mean(squares, axis=1)) ** 2))
+    center_scores = center2center / (map_size / np.sqrt(2.0))
+
+    score_array = (
+        params["w_overlap"] * overlap_scores
+        + params["w_degree"] * degree_scores
+        + params["w_area"] * area_scores
+        - params["w_center"] * center_scores
+        + params["w_length"] * length_scores
+    )
+    order = np.argsort(score_array)[::-1]
+    score_array = score_array[order]
+    squares = squares[order].astype(np.float32)
+    squares[:, :, 0] *= 2 / input_shape[1] * original_shape[1]
+    squares[:, :, 1] *= 2 / input_shape[0] * original_shape[0]
+    return (rescale_segs(new_segments), squares,
+            score_array.astype(np.float32), ipts)
+
+
+def pred_squares(
+    image: np.ndarray,
+    apply_fn,
+    params,
+    input_shape=(512, 512),
+    square_params: Optional[Dict[str, float]] = None,
+):
+    """Square/quad detection — reference pred_squares (utils.py:89-580): on-device
+    junction decode + host-side hough merge / intersection / corner assembly."""
+    square_params = square_params or DEFAULT_SQUARE_PARAMS
+    h, w = image.shape[:2]
+    resized = np.asarray(
+        jax.image.resize(jnp.asarray(image, jnp.float32),
+                         (input_shape[0], input_shape[1], 3), "linear")
+    )
+    inp = np.concatenate([resized, np.ones((*input_shape, 1), np.float32)], axis=-1)
+    inp = inp / 127.5 - 1.0
+    tp_map = apply_fn(params, jnp.asarray(inp)[None])
+    scores, ys, xs, disp = jax.device_get(decode_centers(tp_map))
+    segs = []
+    for s, y, x in zip(scores, ys, xs):
+        d = disp[y, x]
+        if s > square_params["score"] and float(np.hypot(d[2] - d[0], d[3] - d[1])) > 20.0:
+            segs.append([x + d[0], y + d[1], x + d[2], y + d[3]])
+    return squares_from_segments(
+        np.asarray(segs, np.float32).reshape(-1, 4), len(scores), square_params,
+        input_shape, (h, w),
+    )
+
+
 def mlsd_params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Reference MLSD checkpoint naming -> flax params."""
     tree: Dict[str, Any] = {}

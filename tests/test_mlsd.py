@@ -131,3 +131,81 @@ def test_detector_end_to_end_random_weights():
     out = det(img, 0.05, 0.05)
     assert out.shape == (128, 160)
     assert out.dtype == np.uint8
+
+
+# ---------------------------------------------------------------------- pred_squares
+
+
+def _square_scene_segments():
+    """Four sides of the square (60,60)-(180,180) in the 256 half-res frame, each side
+    split into two collinear sub-segments (exercises the hough merge), plus two
+    distractor segments that must not form a square."""
+    segs = []
+    # top (y=60) and bottom (y=180), split at x=120
+    for y in (60, 180):
+        segs.append([70, y, 120, y])
+        segs.append([120, y, 170, y])
+    # left (x=60) and right (x=180), split at y=120
+    for x in (60, 180):
+        segs.append([x, 70, x, 120])
+        segs.append([x, 120, x, 170])
+    # distractors: diagonal + short isolated line
+    segs.append([10, 10, 40, 55])
+    segs.append([200, 30, 240, 35])
+    return np.asarray(segs, np.float32)
+
+
+def test_squares_from_segments_synthetic_square():
+    from controllora_tpu.annotators.mlsd import (
+        DEFAULT_SQUARE_PARAMS,
+        squares_from_segments,
+    )
+
+    merged, squares, scores, inter = squares_from_segments(
+        _square_scene_segments(), 200, DEFAULT_SQUARE_PARAMS,
+        input_shape=(512, 512), original_shape=(512, 512),
+    )
+    assert len(squares) >= 1
+    assert len(scores) == len(squares)
+    # scores sorted descending
+    assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1))
+    # best square corners ~= the synthetic square's corners, x2 rescale (256->512)
+    best = squares[0]
+    expect = np.asarray([[120, 120], [360, 120], [360, 360], [120, 360]], np.float32)
+    # corner order is 0>1>2>3 = TL,TR,BR,BL by construction of the corner classes
+    np.testing.assert_allclose(best, expect, atol=8.0)
+    # intersections include the 4 corners
+    assert len(inter) >= 4
+    # merged segments include the 4 full-length sides
+    assert len(merged) >= 4
+
+
+def test_squares_from_segments_empty_and_no_square():
+    from controllora_tpu.annotators.mlsd import (
+        DEFAULT_SQUARE_PARAMS,
+        squares_from_segments,
+    )
+
+    merged, squares, scores, inter = squares_from_segments(
+        np.zeros((0, 4), np.float32), 200, DEFAULT_SQUARE_PARAMS)
+    assert len(merged) == len(squares) == len(scores) == len(inter) == 0
+    # parallel lines only -> no intersections/corners -> no squares
+    segs = np.asarray([[10, 50, 200, 50], [10, 100, 200, 100],
+                       [10, 150, 200, 150], [10, 200, 200, 200]], np.float32)
+    merged, squares, scores, inter = squares_from_segments(
+        segs, 200, DEFAULT_SQUARE_PARAMS)
+    assert len(squares) == 0
+
+
+def test_pred_squares_end_to_end_random_weights():
+    """API surface check: pred_squares runs the full decode path on a fake model."""
+    import jax.numpy as jnp
+
+    from controllora_tpu.annotators.mlsd import pred_squares
+
+    def fake_apply(params, x):
+        return jnp.zeros((1, 256, 256, 9), jnp.float32)
+
+    img = np.zeros((512, 512, 3), np.uint8)
+    merged, squares, scores, inter = pred_squares(img, fake_apply, None)
+    assert squares.shape[1:] == (4, 2) or len(squares) == 0
