@@ -390,22 +390,30 @@ def hand_detect(candidate: np.ndarray, subset: np.ndarray, img_shape) -> List[tu
 
 
 def decode_hand_peaks(heatmaps: np.ndarray, thre: float = 0.05) -> np.ndarray:
-    """21 keypoints from hand heatmaps: per channel, Gaussian-smooth then take the
-    strongest mode's argmax (the reference uses connected-component labeling +
-    npmax, hand.py:59-75; the smoothed-argmax picks the same point whenever the
-    strongest component dominates — documented approximation)."""
+    """21 keypoints from hand heatmaps — the reference decode (hand.py:59-75):
+    per channel, Gaussian-smooth (sigma 3, on-device), threshold into a binary mask,
+    label 8-connected components, keep the component with the largest RAW-heatmap
+    mass, and return the raw argmax inside it. [0, 0] when nothing clears ``thre``."""
+    from scipy import ndimage
+
     peaks = []
     blurred = np.asarray(
         jax.vmap(lambda m: _gaussian_blur_2d(m, 3.0), in_axes=2, out_axes=2)(
             jnp.asarray(heatmaps[:, :, :21])
         )
     )
+    eight = np.ones((3, 3), np.int32)  # skimage connectivity=2 semantics
     for part in range(21):
-        b = blurred[:, :, part]
-        if b.max() <= thre:
+        raw = heatmaps[:, :, part]
+        binary = blurred[:, :, part] > thre
+        if not binary.any():
             peaks.append([0, 0])
             continue
-        y, x = np.unravel_index(np.argmax(b), b.shape)
+        labels, n = ndimage.label(binary, structure=eight)
+        sums = ndimage.sum_labels(raw, labels, index=np.arange(1, n + 1))
+        best = int(np.argmax(sums)) + 1
+        masked = np.where(labels == best, raw, 0.0)
+        y, x = np.unravel_index(np.argmax(masked), masked.shape)
         peaks.append([int(x), int(y)])
     return np.array(peaks)
 
@@ -471,25 +479,33 @@ class OpenposeDetector:
         heat = jax.image.resize(heat[0], (H, W, 19), "bicubic")
         return np.asarray(paf), np.asarray(heat)
 
-    def infer_hand(self, crop: np.ndarray, boxsize: int = 368, stride: int = 8):
-        """Hand heatmaps at crop resolution (single-scale variant of the reference's
-        4-scale average, hand.py:25-58)."""
+    def infer_hand(self, crop: np.ndarray, boxsize: int = 368, stride: int = 8,
+                   scale_search=(0.5, 1.0, 1.5, 2.0)):
+        """Hand heatmaps at crop resolution, averaged over the reference's four
+        inference scales (hand.py:26-58). Crops are square, so the scaled shapes are
+        the FIXED set {round(s·368)}_s — four compiled shapes total regardless of
+        crop size (TPU-friendly static shapes)."""
         assert self.hand_params is not None
         if not hasattr(self, "_hand_jit"):
             self._hand_jit = jax.jit(
                 lambda p, x: self.hand_model.apply({"params": p}, x)
             )
-        scale = boxsize / crop.shape[0]
-        h = max(stride, int(round(crop.shape[0] * scale)))
-        w = max(stride, int(round(crop.shape[1] * scale)))
-        small = np.asarray(
-            jax.image.resize(jnp.asarray(crop, jnp.float32), (h, w, 3), "bicubic")
-        )
-        padded, _ = _pad_to_stride(small, stride)
-        inp = jnp.asarray(padded[None] / 256.0 - 0.5, jnp.float32)
-        heat = self._hand_jit(self.hand_params, inp)
         H, W = crop.shape[:2]
-        return np.asarray(jax.image.resize(heat[0], (H, W, 22), "bicubic"))
+        acc = np.zeros((H, W, 22), np.float32)
+        for s in scale_search:
+            scale = s * boxsize / crop.shape[0]
+            h = max(stride, int(round(crop.shape[0] * scale)))
+            w = max(stride, int(round(crop.shape[1] * scale)))
+            small = np.asarray(
+                jax.image.resize(jnp.asarray(crop, jnp.float32), (h, w, 3), "bicubic")
+            )
+            padded, _ = _pad_to_stride(small, stride)
+            inp = jnp.asarray(padded[None] / 256.0 - 0.5, jnp.float32)
+            heat = self._hand_jit(self.hand_params, inp)
+            acc += np.asarray(
+                jax.image.resize(heat[0], (H, W, 22), "bicubic")
+            ) / len(scale_search)
+        return acc
 
     def __call__(self, ori_img: np.ndarray, hand: bool = False):
         paf, heat = self.infer_maps(ori_img)

@@ -161,3 +161,92 @@ def test_detector_end_to_end_random_weights():
     canvas, pose = det(img)
     assert canvas.shape == img.shape
     assert "bodies" in pose
+
+
+# ------------------------------------------------------------------ hand decode parity
+
+
+def _gauss_blob(shape, cy, cx, amp, sigma):
+    yy, xx = np.mgrid[: shape[0], : shape[1]].astype(np.float64)
+    return amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2))
+
+
+def _reference_hand_decode(heatmaps, thre=0.05):
+    """Literal numpy reimplementation of the reference decode (hand.py:59-75):
+    scipy gaussian_filter + 8-connected labeling + raw-mass component selection +
+    raw argmax inside the winner."""
+    from scipy import ndimage
+    from scipy.ndimage import gaussian_filter
+
+    peaks = []
+    for part in range(21):
+        map_ori = heatmaps[:, :, part].astype(np.float64)
+        binary = gaussian_filter(map_ori, sigma=3) > thre
+        if binary.sum() == 0:
+            peaks.append([0, 0])
+            continue
+        labels, n = ndimage.label(binary, structure=np.ones((3, 3)))
+        sums = [map_ori[labels == i].sum() for i in range(1, n + 1)]
+        best = int(np.argmax(sums)) + 1
+        masked = np.where(labels == best, map_ori, 0)
+        y, x = np.unravel_index(np.argmax(masked), masked.shape)
+        peaks.append([int(x), int(y)])
+    return np.array(peaks)
+
+
+def test_hand_decode_component_mass_beats_smoothed_argmax():
+    """The discriminating case VERDICT item 6 demands: a tall narrow peak with small
+    mass vs a broad blob with larger mass in separate components. Smoothed-argmax
+    picks the narrow peak; the reference's component decode picks the broad blob."""
+    from controllora_tpu.annotators.openpose import decode_hand_peaks
+
+    hm = np.zeros((64, 64, 22), np.float32)
+    narrow = _gauss_blob((64, 64), 16, 16, 1.0, 2.0)   # blurred amp ~0.31, mass ~25
+    broad = _gauss_blob((64, 64), 48, 48, 0.28, 6.0)   # blurred amp ~0.22, mass ~63
+    hm[:, :, 0] = (narrow + broad).astype(np.float32)
+    peaks = decode_hand_peaks(hm)
+    assert peaks[0].tolist() == [48, 48]  # the larger-mass component wins
+    np.testing.assert_array_equal(peaks, _reference_hand_decode(hm))
+
+
+def test_hand_decode_matches_reference_on_random_multimodal():
+    from controllora_tpu.annotators.openpose import decode_hand_peaks
+
+    rng = np.random.default_rng(7)
+    hm = np.zeros((80, 72, 22), np.float32)
+    for part in range(21):
+        for _ in range(rng.integers(0, 4)):
+            hm[:, :, part] += _gauss_blob(
+                (80, 72),
+                rng.uniform(12, 68), rng.uniform(12, 60),
+                rng.uniform(0.1, 1.0), rng.uniform(1.5, 6.0),
+            ).astype(np.float32)
+    ours = decode_hand_peaks(hm)
+    theirs = _reference_hand_decode(hm)
+    # our blur is a zero-padded XLA conv vs scipy 'reflect'; interior blobs match
+    # exactly, so demand exact equality on the peak coordinates
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_hand_decode_below_threshold_zero():
+    from controllora_tpu.annotators.openpose import decode_hand_peaks
+
+    hm = np.full((32, 32, 22), 0.01, np.float32)
+    np.testing.assert_array_equal(decode_hand_peaks(hm), np.zeros((21, 2), int))
+
+
+def test_infer_hand_four_scale_average():
+    from controllora_tpu.annotators.openpose import HandposeModel, OpenposeDetector
+    import jax
+    import jax.numpy as jnp
+
+    det = OpenposeDetector()
+    det.hand_params = det.hand_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )["params"]
+    crop = np.random.default_rng(1).integers(0, 255, (56, 56, 3)).astype(np.uint8)
+    out4 = det.infer_hand(crop)
+    out1 = det.infer_hand(crop, scale_search=(1.0,))
+    assert out4.shape == (56, 56, 22)
+    # the 4-scale average must differ from single-scale (different receptive fields)
+    assert np.abs(out4 - out1).max() > 1e-6
