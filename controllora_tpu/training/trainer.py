@@ -53,9 +53,12 @@ def make_optimizer(
     warmup_steps: int = 0,
     total_steps: int = 30_000,
     grad_accumulation_steps: int = 1,
+    use_8bit: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clip matching the reference trainer defaults
-    (train_text_to_image_control_lora.py:188, 209-255, 791-793)."""
+    (train_text_to_image_control_lora.py:188, 209-255, 791-793). `use_8bit`
+    swaps in block-wise int8 moment storage (reference train:500-508 /
+    bitsandbytes; see training/adam8bit.py)."""
     if lr_schedule == "constant":
         sched = optax.join_schedules(
             [optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1)),
@@ -74,10 +77,15 @@ def make_optimizer(
         )
     else:
         raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
-    tx = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(sched, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay),
-    )
+    if use_8bit:
+        from controllora_tpu.training.adam8bit import adamw8bit
+
+        adam = adamw8bit(sched, b1=beta1, b2=beta2, eps=eps,
+                         weight_decay=weight_decay)
+    else:
+        adam = optax.adamw(sched, b1=beta1, b2=beta2, eps=eps,
+                           weight_decay=weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), adam)
     if grad_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, grad_accumulation_steps)
     return tx

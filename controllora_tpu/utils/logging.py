@@ -1,8 +1,9 @@
-"""Metrics logging: JSONL always, TensorBoard when available.
+"""Metrics logging: JSONL always, TensorBoard/wandb when available.
 
 The reference reports through accelerate trackers (tensorboard/wandb/comet, reference
 train_text_to_image_control_lora.py:284-292, 696-697). Here: a dependency-light JSONL
-stream (machine-readable, hermetic) plus optional tensorboard scalars/images.
+stream (machine-readable, hermetic) plus optional tensorboard and wandb sinks behind
+lazy imports — `report_to` accepts jsonl | tensorboard | wandb | all.
 """
 
 from __future__ import annotations
@@ -28,6 +29,18 @@ class MetricsLogger:
                 self._tb = SummaryWriter(os.path.join(output_dir, "tb"))
             except Exception:
                 pass
+        self._wandb = None
+        if report_to in ("wandb", "all"):
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "controllora_tpu"),
+                    dir=output_dir,
+                    resume="allow",
+                )
+            except Exception:
+                print("wandb requested but unavailable; falling back to jsonl")
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, float]):
@@ -38,6 +51,8 @@ class MetricsLogger:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, float(v), step)
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in metrics.items()}, step=int(step))
 
     def log_image(self, step: int, tag: str, image_u8: np.ndarray):
         """image_u8: HWC uint8. Saved as PNG under images/ and to tensorboard."""
@@ -51,8 +66,14 @@ class MetricsLogger:
             pass
         if self._tb is not None:
             self._tb.add_image(tag, image_u8, step, dataformats="HWC")
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log({tag: wandb.Image(image_u8)}, step=int(step))
 
     def close(self):
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

@@ -60,6 +60,9 @@ def parse_args(argv=None):
     p.add_argument("--adam_weight_decay", type=float, default=1e-2)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="block-wise int8-quantized Adam moments (reference "
+                        "train:500-508 / bitsandbytes; first-party JAX impl)")
     p.add_argument("--no_remat", action="store_true",
                    help="disable UNet rematerialization (more HBM, fewer FLOPs)")
     # bookkeeping
@@ -70,7 +73,12 @@ def parse_args(argv=None):
     p.add_argument("--validation_steps", type=int, default=0,
                    help="sample a validation image every N steps (0 = off)")
     p.add_argument("--validation_prompt", type=str, default=None)
-    p.add_argument("--report_to", type=str, default="jsonl")
+    p.add_argument("--report_to", type=str, default="jsonl",
+                   help="jsonl | tensorboard | wandb | all (reference train:284-292)")
+    p.add_argument("--push_to_hub", action="store_true",
+                   help="push the final artifact to the hub (reference train:931-939)")
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--hub_token", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--profile", action="store_true",
@@ -83,6 +91,14 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
+
+    # Multi-host: connect processes over DCN before any backend/device access
+    # (replaces the reference's `accelerate launch` env plumbing, train:293, 318-320).
+    from controllora_tpu.parallel.distributed import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        print(f"multi-host: process {jax.process_index()}/{jax.process_count()}")
+
     import jax.numpy as jnp
 
     from controllora_tpu.config import load_config
@@ -103,6 +119,7 @@ def main(argv=None):
     devices = jax.devices()
     n_dev = len(devices)
     mesh = make_mesh() if n_dev > 1 else None
+    is_main = jax.process_index() == 0  # gate host-side writes in multi-host runs
     print(f"devices: {n_dev} ({devices[0].platform}), mesh={'data' if mesh else None}")
 
     # ---- models
@@ -149,6 +166,7 @@ def main(argv=None):
         warmup_steps=args.lr_warmup_steps,
         total_steps=args.max_train_steps,
         grad_accumulation_steps=args.gradient_accumulation_steps,
+        use_8bit=args.use_8bit_adam,
     )
     trainer = ControlLoRATrainer(
         control_lora=control_lora,
@@ -285,7 +303,8 @@ def main(argv=None):
             })
             print(f"step {step+1}: loss={loss:.4f} {1.0/max(dt,1e-9):.2f} steps/s")
 
-        if args.checkpointing_steps and (step + 1) % args.checkpointing_steps == 0:
+        if (is_main and args.checkpointing_steps
+                and (step + 1) % args.checkpointing_steps == 0):
             save_train_state(args.output_dir, step + 1, jax.device_get(state),
                              keep=args.checkpoints_total_limit)
             print(f"saved checkpoint-{step+1}")
@@ -294,6 +313,9 @@ def main(argv=None):
             run_validation(step + 1, state.params)
 
     # final artifact (reference train:922-929)
+    if not is_main:
+        logger.close()
+        return
     save_control_lora(args.output_dir, jax.device_get(state).params, ccfg)
     # model card (reference save_model_card, train:54-81)
     with open(os.path.join(args.output_dir, "README.md"), "w") as f:
@@ -313,6 +335,12 @@ reference's `ControlLoRA.from_pretrained`.
 """
         )
     print(f"saved final ControlLoRA to {args.output_dir}")
+    if args.push_to_hub:
+        from controllora_tpu.utils.hub import push_to_hub
+
+        url = push_to_hub(args.output_dir, repo_id=args.hub_model_id,
+                          token=args.hub_token)
+        print(f"pushed to {url}")
     logger.close()
 
 

@@ -15,4 +15,15 @@ import jax
 # through the config API so tests always run on the local 8-device CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-dominated (the pipeline and
+# training tests each jit multi-hundred-op programs on a single-core container), so the
+# first run pays full compile cost and every later run replays cached executables. This
+# is what keeps the full suite under the CI time budget on repeat runs.
+_CACHE_DIR = os.environ.get(
+    "CONTROLLORA_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
