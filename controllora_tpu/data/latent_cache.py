@@ -1,0 +1,105 @@
+"""VAE latent caching: precompute posterior moments once, drop the per-step encode.
+
+The reference re-encodes every image through the frozen VAE every step (reference
+train_text_to_image_control_lora.py:753-754) — pure waste for a frozen encoder over a
+fixed dataset. TPU-native: one batched encode pass over the dataset up front (MXU-dense,
+~minutes for 50k images), caching the posterior (mean, logvar) in fp16 host RAM
+(~3.2 GB for 50k at 512²). The trainer then samples z = mean + std·ε fresh each step —
+numerically the SAME training distribution as encode-per-step, not a fixed-latent
+approximation.
+
+Only valid for datasets whose `__getitem__` is deterministic per index
+(`DatasetBase.deterministic`); augmentation-heavy datasets keep the per-step encode.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from controllora_tpu.data.registry import DatasetBase
+
+
+class LatentCachedDataset(DatasetBase):
+    """Wraps a deterministic dataset, replacing pixel_values with cached VAE
+    posterior moments (latent_mean, latent_logvar)."""
+
+    def __init__(
+        self,
+        dataset: DatasetBase,
+        vae,
+        vae_params,
+        batch_size: int = 16,
+        cache_path: Optional[str] = None,
+        verbose: bool = True,
+    ):
+        if not getattr(dataset, "deterministic", True):
+            raise ValueError(
+                f"latent caching requires a deterministic dataset; "
+                f"{type(dataset).__name__} regenerates samples per access"
+            )
+        self.dataset = dataset
+        self.tokenizer = getattr(dataset, "tokenizer", None)
+        if cache_path is not None:
+            try:
+                z = np.load(cache_path)
+                self.mean, self.logvar = z["mean"], z["logvar"]
+                if len(self.mean) == len(dataset):
+                    if verbose:
+                        print(f"latent cache: loaded {cache_path}", file=sys.stderr)
+                    return
+                print("latent cache: size mismatch; rebuilding", file=sys.stderr)
+            except FileNotFoundError:
+                pass
+        self._build(vae, vae_params, batch_size, verbose)
+        if cache_path is not None:
+            np.savez(cache_path, mean=self.mean, logvar=self.logvar)
+            if verbose:
+                print(f"latent cache: saved {cache_path}", file=sys.stderr)
+
+    def _build(self, vae, vae_params, batch_size: int, verbose: bool):
+        import jax
+        import jax.numpy as jnp
+
+        moments = jax.jit(
+            lambda p, x: vae.apply({"params": p}, x, method=vae.encode_moments)
+        )
+        n = len(self.dataset)
+        means, logvars = [], []
+        t0 = time.time()
+        for s in range(0, n, batch_size):
+            px = np.stack(
+                [self.dataset[i]["pixel_values"] for i in range(s, min(s + batch_size, n))]
+            )
+            m, lv = moments(vae_params, jnp.asarray(px))
+            means.append(np.asarray(m, np.float16))
+            logvars.append(np.asarray(lv, np.float16))
+            if verbose and s and s % (batch_size * 50) == 0:
+                rate = (s + batch_size) / (time.time() - t0)
+                print(f"latent cache: {s}/{n} ({rate:.0f} img/s)", file=sys.stderr)
+        self.mean = np.concatenate(means)
+        self.logvar = np.concatenate(logvars)
+        if verbose:
+            print(
+                f"latent cache: {n} samples in {time.time()-t0:.1f}s "
+                f"({self.mean.nbytes * 2 / 1e9:.2f} GB fp16)",
+                file=sys.stderr,
+            )
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self.dataset[idx]
+        return {
+            "latent_mean": self.mean[idx].astype(np.float32),
+            "latent_logvar": self.logvar[idx].astype(np.float32),
+            "guide_values": item["guide_values"],
+            "input_ids": item["input_ids"],
+        }
+
+    def control_channel(self) -> int:
+        return self.dataset.control_channel()

@@ -19,6 +19,9 @@ class DatasetBase:
 
     # subclasses set this
     name: str = ""
+    # True when __getitem__ is a pure function of idx (enables latent caching);
+    # datasets with per-access augmentation randomness must set this False
+    deterministic: bool = True
 
     def __init_subclass__(cls, **kw):
         super().__init_subclass__(**kw)

@@ -202,21 +202,30 @@ class StableDiffusionControlLoRAPipeline:
             s.main is not None and not s.pre and not s.post for s in adapters.values()
         )
 
+        # All requested images render as ONE batched sampler call — serving-batch
+        # throughput (docs/BENCHMARKS.md: 2.5 img/s at batch 4 vs 2.06 at batch 1)
+        # reaches the apps' multi-sample requests. The CFG layout stays
+        # [uncond*n ‖ cond*n]; batch-1 control biases broadcast over it.
+        if latents is not None:
+            lat0 = latents if latents.ndim == 4 else latents[None]
+            n = lat0.shape[0]
+        else:
+            n = num_images
+            rng, k = jax.random.split(rng)
+            lat0 = jax.random.normal(k, (n, lh, lw, self.unet.config.in_channels),
+                                     jnp.float32)
+        ctx_n = ctx if n == 1 else jnp.concatenate(
+            [jnp.repeat(ctx[:1], n, 0), jnp.repeat(ctx[1:], n, 0)], axis=0
+        )
+        img = sampler(lat0, ctx_n, adapters, jnp.float32(guidance_scale),
+                      jnp.float32(lora_scale), foldable)
+        img = np.asarray(jax.device_get(img), np.float32)
         images = []
-        for i in range(num_images):
-            if latents is not None:
-                lat0 = latents
-            else:
-                rng, k = jax.random.split(rng)
-                lat0 = jax.random.normal(k, (1, lh, lw, self.unet.config.in_channels),
-                                         jnp.float32)
-            img = sampler(lat0, ctx, adapters, jnp.float32(guidance_scale),
-                          jnp.float32(lora_scale), foldable)
-            img = np.asarray(jax.device_get(img[0]), np.float32)
+        for i in range(img.shape[0]):
             if return_array:
-                images.append(img)
+                images.append(img[i])
             else:
                 images.append(
-                    np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                    np.clip((img[i] + 1.0) * 127.5, 0, 255).astype(np.uint8)
                 )
         return images

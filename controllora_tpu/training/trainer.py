@@ -107,6 +107,7 @@ class ControlLoRATrainer:
         prediction_type: Optional[str] = None,
         snr_gamma: Optional[float] = None,
         remat_unet: bool = True,
+        remat_policy: str = "nothing",
     ):
         self.control_lora = control_lora
         self.unet = unet
@@ -117,6 +118,7 @@ class ControlLoRATrainer:
         self.optimizer = optimizer or make_optimizer()
         self.mesh = mesh
         self.remat_unet = remat_unet
+        self.remat_policy = remat_policy
         if prediction_type is not None:
             # --prediction_type override (reference train:761-765 via scheduler config)
             self.scheduler = DDPMScheduler(
@@ -145,6 +147,13 @@ class ControlLoRATrainer:
 
         if "latents" in batch:
             latents = batch["latents"]
+        elif "latent_mean" in batch:
+            # cached VAE posterior moments (data/latent_cache.py): sample fresh
+            # per step — same training distribution as encode-per-step
+            mean = batch["latent_mean"].astype(jnp.float32)
+            std = jnp.exp(0.5 * batch["latent_logvar"].astype(jnp.float32))
+            z = mean + std * jax.random.normal(rng_sample, mean.shape, jnp.float32)
+            latents = z * self.vae.config.scaling_factor
         else:
             latents = self.vae.apply(
                 {"params": frozen["vae"]},
@@ -170,9 +179,15 @@ class ControlLoRATrainer:
 
         unet_apply = self.unet.apply
         if self.remat_unet:
-            unet_apply = jax.checkpoint(
-                self.unet.apply, static_argnums=(), policy=jax.checkpoint_policies.nothing_saveable
-            )
+            # "nothing" recomputes the whole forward in the backward (min HBM);
+            # "dots" keeps MXU outputs resident (fewer recomputed matmuls, more HBM)
+            # — measured tradeoff in docs/BENCHMARKS.md, selected via remat_policy.
+            policy = {
+                "nothing": jax.checkpoint_policies.nothing_saveable,
+                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "dots_all": jax.checkpoint_policies.dots_saveable,
+            }[self.remat_policy]
+            unet_apply = jax.checkpoint(self.unet.apply, policy=policy)
         pred = unet_apply({"params": frozen["unet"]}, noisy, t, ctx, adapters)
 
         target = sch.training_target(latents, noise, t)

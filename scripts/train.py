@@ -65,6 +65,14 @@ def parse_args(argv=None):
                         "train:500-508 / bitsandbytes; first-party JAX impl)")
     p.add_argument("--no_remat", action="store_true",
                    help="disable UNet rematerialization (more HBM, fewer FLOPs)")
+    p.add_argument("--remat_policy", type=str, default="nothing",
+                   choices=["nothing", "dots", "dots_all"],
+                   help="what the UNet remat keeps resident (see docs/BENCHMARKS.md)")
+    p.add_argument("--cache_latents", action="store_true",
+                   help="precompute VAE posterior moments once and skip the per-step "
+                        "encode (deterministic datasets only; data/latent_cache.py)")
+    p.add_argument("--latent_cache_path", type=str, default=None,
+                   help="npz file to persist/load the latent cache")
     # bookkeeping
     p.add_argument("--output_dir", type=str, default="control-lora-model")
     p.add_argument("--checkpointing_steps", type=int, default=500)
@@ -179,6 +187,7 @@ def main(argv=None):
         prediction_type=args.prediction_type,
         snr_gamma=args.snr_gamma,
         remat_unet=not args.no_remat,
+        remat_policy=args.remat_policy,
     )
 
     # ---- data
@@ -204,9 +213,15 @@ def main(argv=None):
             seed=args.seed,
             max_train_samples=args.max_train_samples,
         )
+    if args.cache_latents:
+        from controllora_tpu.data.latent_cache import LatentCachedDataset
+
+        dataset = LatentCachedDataset(
+            dataset, vae, frozen["vae"], cache_path=args.latent_cache_path
+        )
     global_batch = args.train_batch_size * n_dev
     batches = None
-    if args.dataset_name == "process/fill50k":
+    if args.dataset_name == "process/fill50k" and not args.cache_latents:
         # native C batcher + background prefetch (11x the python batcher at 512^2)
         from controllora_tpu.data.fastloader import (
             NativeFill50kBatcher,
@@ -249,7 +264,8 @@ def main(argv=None):
     if args.validation_steps:
         from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
 
-        val_item = dataset[0]
+        # the montage needs pixel_values — unwrap a latent-cached dataset
+        val_item = (dataset.dataset if hasattr(dataset, "dataset") else dataset)[0]
         val_pipe = StableDiffusionControlLoRAPipeline(
             unet, vae, text_encoder, tokenizer, frozen, control_lora, None,
         )

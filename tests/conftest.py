@@ -22,6 +22,11 @@ jax.config.update("jax_platforms", "cpu")
 _CACHE_DIR = os.environ.get(
     "CONTROLLORA_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
 )
+# Set via env (not only the config API) so tests that spawn fresh-JAX subprocesses
+# (test_entry, test_distributed) share the same cache.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR
+os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
+os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -134,3 +134,26 @@ def test_merge_extra_loras_structure():
     assert st.main is loras[name]
     again = merge_extra_loras(merged, loras, "post")
     assert len(again[name].post) == 1
+
+
+def test_num_images_batched_matches_singles(pipe):
+    """num_images renders as ONE batched sampler call; each image must equal the
+    single-image render with the same per-image latent (CFG layout [u*n ‖ c*n])."""
+    k = jax.random.PRNGKey(11)
+    lats = jax.random.normal(k, (3, 8, 8, 4), jnp.float32)
+    batched = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lats,
+                   return_array=True)
+    assert len(batched) == 3
+    for i in range(3):
+        single = pipe("x", guide=make_guide(), num_inference_steps=2,
+                      latents=lats[i : i + 1], return_array=True)[0]
+        # batched vs single GEMM shapes reorder fp32 accumulation; bound the drift
+        np.testing.assert_allclose(batched[i], single, atol=1e-4)
+
+
+def test_num_images_fresh_latents(pipe):
+    imgs = pipe("x", guide=make_guide(), num_inference_steps=2, num_images=2,
+                rng=jax.random.PRNGKey(3))
+    assert len(imgs) == 2
+    # distinct latents -> distinct images
+    assert np.abs(imgs[0].astype(int) - imgs[1].astype(int)).max() > 0
