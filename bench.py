@@ -1,11 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "train_steps_per_sec_chip": N, "train_imgs_per_sec_chip": N, "train_batch": N}
 
 Headline metric (BASELINE.json): images/sec/chip — SD1.5 + ControlLoRA guided sampling,
 512², 20-step CFG, DPM-Solver++ 2M. The driver-set serving target is >=2 images/sec/chip
 on v5e; `vs_baseline` = value / 2.0. Weights are random (no pretrained checkpoints in
-this container) — throughput is weight-agnostic.
+this container) — throughput is weight-agnostic. The train_* fields carry the secondary
+BASELINE target (train steps/sec/chip, 512² batch 8, encode-per-step, best measured
+config: no remat + bf16 hint compute — see docs/BENCHMARKS.md).
 
 Measurement methodology: N sampler invocations are CHAINED (each consumes the previous
 output as its initial latents), so asynchronous dispatch cannot overlap or hide latency;
@@ -115,11 +118,51 @@ def main():
               file=sys.stderr)
 
     best = max(results.values())
+    del unet_params, vae_params, control_params  # free HBM for the training stack
+
+    # ---- training metric (BASELINE secondary target): fused train step at 512^2,
+    # best measured config (no remat, bf16 hint compute), encode-per-step.
+    from controllora_tpu.models import zoo
+    from controllora_tpu.training.trainer import ControlLoRATrainer, make_optimizer
+
+    tb = 8
+    t_unet, t_vae, t_text = zoo.build_models("sd15", dtype=dtype)
+    t_frozen = zoo.random_frozen(jax.random.PRNGKey(0), t_unet, t_vae, t_text,
+                                 latent_size=64, param_dtype=dtype)
+    trainer = ControlLoRATrainer(
+        control_lora=ControlLoRA(get_preset("base"), dtype=dtype),
+        unet=t_unet, vae=t_vae, text_encoder=t_text, frozen=t_frozen,
+        optimizer=make_optimizer(), remat_unet=False,
+    )
+    tstate = trainer.init_state(jax.random.PRNGKey(1), image_size=512)
+    batch = {
+        "pixel_values": jnp.zeros((tb, 512, 512, 3), jnp.float32),
+        "guide_values": jnp.zeros((tb, 512, 512, 3), jnp.float32),
+        "input_ids": jnp.zeros((tb, 77), jnp.int32),
+    }
+    step_fn = trainer.make_train_step()
+    rng = jax.random.PRNGKey(2)
+    t0 = time.time()
+    tstate, m = step_fn(tstate, batch, rng)
+    jax.block_until_ready(m["loss"])
+    print(f"train: compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+    rngs = [jax.block_until_ready(jax.random.fold_in(rng, i)) for i in range(6)]
+    t0 = time.time()
+    for i in range(6):
+        tstate, m = step_fn(tstate, batch, rngs[i])  # state-chained: serializes
+    jax.block_until_ready(m["loss"])
+    tdt = (time.time() - t0) / 6
+    print(f"train: {tdt*1000:.1f} ms/step -> {1/tdt:.2f} steps/s "
+          f"({tb/tdt:.1f} img/s)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "images/sec/chip (SD1.5+ControlLoRA, 512^2, 20-step CFG)",
         "value": round(best, 4),
         "unit": "images/sec",
         "vs_baseline": round(best / 2.0, 4),
+        "train_steps_per_sec_chip": round(1.0 / tdt, 3),
+        "train_imgs_per_sec_chip": round(tb / tdt, 2),
+        "train_batch": tb,
     }))
 
 

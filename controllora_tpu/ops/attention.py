@@ -37,7 +37,7 @@ def _use_flash(q_len: int, kv_len: int, backend: str) -> bool:
     """Flash pays off for long self-attention (measured on v5e: 2.68 vs 4.69 ms at
     L=4096 — the XLA path is bandwidth-bound on the fp32 score matrix). Cross
     attention (kv=77) and short sequences stay on the fused-einsum path."""
-    if backend == "flash":
+    if backend in ("flash", "flash_stock"):
         return True
     if backend != "auto":
         return False
@@ -47,6 +47,21 @@ def _use_flash(q_len: int, kv_len: int, backend: str) -> bool:
 
 
 def _flash(q, k, v, scale):
+    """First-party differentiable flash kernel (ops/pallas_attention_vjp.py):
+    both the forward and the backward are in-house Pallas. (B,H,L,D) layout is
+    flattened to (B·H, L, D) so head count rides the embarrassingly-parallel
+    grid dimension."""
+    from controllora_tpu.ops.pallas_attention_vjp import flash_attention
+
+    b, h, l, d = q.shape
+    rs = lambda x: x.reshape(b * h, x.shape[2], d)
+    blk = 1024 if l % 1024 == 0 else min(512, l)  # block sweep, docs/BENCHMARKS.md
+    out = flash_attention(rs(q), rs(k), rs(v), blk, blk)
+    return out.reshape(b, h, l, d)
+
+
+def _flash_stock(q, k, v, scale):
+    """jax's stock TPU flash kernel — kept as a comparison/fallback backend."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         flash_attention,
@@ -81,7 +96,12 @@ def dot_product_attention(
     scale = q.shape[-1] ** -0.5
 
     if mask is None and _use_flash(q.shape[2], k.shape[2], backend):
-        out = _flash(q, k, v, scale)
+        import os
+
+        use_stock = backend == "flash_stock" or (
+            os.environ.get("CONTROLLORA_FLASH_IMPL") == "stock"  # A/B benching
+        )
+        out = (_flash_stock if use_stock else _flash)(q, k, v, scale)
         return merge_heads(out.astype(query.dtype))
 
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)

@@ -136,11 +136,13 @@ def biased_attention(
     qf = prep(query, q_bias)
     kf = prep(key, k_bias)
     vf = prep(value, v_bias)
-    # tuned on v5e at L=4096 D=40: block_q 512 / block_k 1024 -> ~2.2-2.6 ms
-    # (block_q 2048 measured 2.17 ms but exceeds the 16M scoped-VMEM budget once
-    # the pipeline double-buffers at batch >= 4)
-    blk_q = min(block // 2, l)
-    blk_k = min(block, key.shape[1])
+    # round-2 slope-method sweep (scripts/bench_flash_blocks.py, v5e, D=40):
+    # 1024x1024 is best-or-tied at every serving shape and VMEM-safe at every
+    # batch — bh=16 L=4096: 0.98 ms (vs 1.08 at 512/1024); bh=64: 4.01 (vs 4.29);
+    # L=9216: 4.81 (vs 5.12). 2048-wide q blocks win ~2% at bh<=16 but fail to
+    # compile at bh=64 (VMEM), so blocks are uniform, not per-batch.
+    blk_q = 1024 if l % 1024 == 0 else min(block // 2, l)
+    blk_k = 1024 if key.shape[1] % 1024 == 0 else min(block, key.shape[1])
     out = flash_attention_fwd(qf, kf, vf, block_q=blk_q, block_k=blk_k)
     return (
         out.reshape(b, heads, l, d).transpose(0, 2, 1, 3).reshape(b, l, inner)

@@ -107,7 +107,7 @@ class ControlLoRATrainer:
         prediction_type: Optional[str] = None,
         snr_gamma: Optional[float] = None,
         remat_unet: bool = True,
-        remat_policy: str = "nothing",
+        remat_policy: str = "dots",
     ):
         self.control_lora = control_lora
         self.unet = unet

@@ -25,10 +25,10 @@ def main(batch_size: int = 8, steps: int = 8):
     t0 = time.time()
     frozen = zoo.random_frozen(jax.random.PRNGKey(0), unet, vae, text_encoder,
                                latent_size=64, param_dtype=dtype)
-    control = ControlLoRA(get_preset("base"))
+    control = ControlLoRA(get_preset("base"), dtype=dtype)
     trainer = ControlLoRATrainer(
         control_lora=control, unet=unet, frozen=frozen, vae=vae,
-        text_encoder=text_encoder, optimizer=make_optimizer(), remat_unet=True,
+        text_encoder=text_encoder, optimizer=make_optimizer(), remat_unet=False,
     )
     state = trainer.init_state(jax.random.PRNGKey(1), image_size=512)
     print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
@@ -55,7 +55,7 @@ def main(batch_size: int = 8, steps: int = 8):
     dt = (time.time() - t0) / steps
     print(json.dumps({
         "metric": "train steps/sec/chip (SD1.5+ControlLoRA base, 512^2, "
-                  f"batch {batch_size}, remat)",
+                  f"batch {batch_size}, no-remat, bf16 hint)",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec",
         "imgs_per_sec": round(batch_size / dt, 3),

@@ -63,9 +63,14 @@ def parse_args(argv=None):
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="block-wise int8-quantized Adam moments (reference "
                         "train:500-508 / bitsandbytes; first-party JAX impl)")
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="remat the UNet on backward (reference train:240 flag; "
+                        "default OFF — at 512^2 b8 the backward fits HBM and remat "
+                        "costs 1.8x, docs/BENCHMARKS.md)")
     p.add_argument("--no_remat", action="store_true",
-                   help="disable UNet rematerialization (more HBM, fewer FLOPs)")
-    p.add_argument("--remat_policy", type=str, default="nothing",
+                   help="deprecated: remat is off by default; use "
+                        "--gradient_checkpointing to enable it")
+    p.add_argument("--remat_policy", type=str, default="dots",
                    choices=["nothing", "dots", "dots_all"],
                    help="what the UNet remat keeps resident (see docs/BENCHMARKS.md)")
     p.add_argument("--cache_latents", action="store_true",
@@ -158,7 +163,10 @@ def main(argv=None):
             ),
             lora_control_version=ccfg.lora_control_version,
         )
-    control_lora = ControlLoRA(ccfg)
+    # hint-encoder COMPUTE follows --mixed_precision (params stay fp32) — the
+    # reference trains the whole graph under accelerate fp16 autocast (train:437-447);
+    # bf16 compute here measured 309 vs 337 ms/step at 512^2 b8 (docs/BENCHMARKS.md)
+    control_lora = ControlLoRA(ccfg, dtype=dtype)
 
     lr = args.learning_rate
     if args.scale_lr:
@@ -186,7 +194,7 @@ def main(argv=None):
         mesh=mesh,
         prediction_type=args.prediction_type,
         snr_gamma=args.snr_gamma,
-        remat_unet=not args.no_remat,
+        remat_unet=args.gradient_checkpointing,
         remat_policy=args.remat_policy,
     )
 

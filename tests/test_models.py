@@ -125,7 +125,10 @@ def test_control_lora_grads_flow(tiny_unet):
     def loss(cp_):
         return jnp.mean(m.apply(params, x, jnp.array([10]), ctx, cl(cp_, guide, TINY_UNET)) ** 2)
 
-    g = jax.grad(loss)(cp)
+    # jit the grad: un-jitted CPU autodiff runs op-by-op (minutes); one compiled
+    # program serves both calls and lands in the persistent cache
+    grad_fn = jax.jit(jax.grad(loss))
+    g = grad_fn(cp)
     total = sum(float(jnp.abs(t).sum()) for t in jax.tree.leaves(g))
     assert total > 0
     # At exact init every up-factor is zero, so the encoder gradient is exactly zero
@@ -134,7 +137,7 @@ def test_control_lora_grads_flow(tiny_unet):
     enc_g0 = sum(float(jnp.abs(t).sum()) for t in jax.tree.leaves(g["encoder"]))
     assert enc_g0 == 0.0
     cp_active = jax.tree.map(lambda t: t + 0.01, cp)
-    g2 = jax.grad(loss)(cp_active)
+    g2 = grad_fn(cp_active)
     enc_g = sum(float(jnp.abs(t).sum()) for t in jax.tree.leaves(g2["encoder"]))
     assert enc_g > 0
 
