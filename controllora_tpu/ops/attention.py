@@ -51,11 +51,13 @@ def _flash(q, k, v, scale):
     both the forward and the backward are in-house Pallas. (B,H,L,D) layout is
     flattened to (B·H, L, D) so head count rides the embarrassingly-parallel
     grid dimension."""
+    from controllora_tpu.ops.pallas_attention import pick_block
     from controllora_tpu.ops.pallas_attention_vjp import flash_attention
 
     b, h, l, d = q.shape
     rs = lambda x: x.reshape(b * h, x.shape[2], d)
-    blk = 1024 if l % 1024 == 0 else min(512, l)  # block sweep, docs/BENCHMARKS.md
+    blk = pick_block(l)  # block sweep: docs/BENCHMARKS.md (1024 preferred)
+    assert blk is not None, f"flash backend requires a tileable length, got L={l}"
     out = flash_attention(rs(q), rs(k), rs(v), blk, blk)
     return out.reshape(b, h, l, d)
 

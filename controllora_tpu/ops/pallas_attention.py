@@ -31,6 +31,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def pick_block(length: int, cap: int = 1024) -> Optional[int]:
+    """Largest MXU-friendly block size that tiles `length` exactly, or None.
+
+    1024×1024 won the round-2 slope sweep at every serving shape
+    (docs/BENCHMARKS.md); smaller powers of two keep odd-resolution sequences
+    (e.g. 384² → L=2304 = 9·256) on the flash path instead of crashing the
+    grid-divisibility assert or silently truncating.
+    """
+    for b in (1024, 512, 256, 128, 64):
+        if b <= cap and b <= length and length % b == 0:
+            return b
+    return None
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale,
                  block_k, kv_len):
     """One (batch·head, q-block) program; loops over KV blocks with online softmax."""
@@ -120,9 +134,28 @@ def biased_attention(
 ) -> jnp.ndarray:
     """Fused folded-adapter attention: bias adds + head split + flash + head merge.
 
-    Biases broadcast over the CFG batch (control batch 1 vs latent batch 2)."""
+    Biases broadcast over the CFG batch (control batch 1 vs latent batch 2).
+    Falls back to unfused bias-add + XLA attention when no block size tiles the
+    sequence (non-power-of-two lengths like 56²=3136)."""
     b, l, inner = query.shape
     d = inner // heads
+    # round-2 slope-method sweep (scripts/bench_flash_blocks.py, v5e, D=40):
+    # 1024x1024 is best-or-tied at every serving shape and VMEM-safe at every
+    # batch — bh=16 L=4096: 0.98 ms (vs 1.08 at 512/1024); bh=64: 4.01 (vs 4.29);
+    # L=9216: 4.81 (vs 5.12). 2048-wide q blocks win ~2% at bh<=16 but fail to
+    # compile at bh=64 (VMEM), so blocks are uniform, not per-batch.
+    blk_q = pick_block(l, cap=block)
+    blk_k = pick_block(key.shape[1], cap=block)
+    if blk_q is None or blk_k is None:
+        from controllora_tpu.ops.attention import dot_product_attention
+
+        if q_bias is not None:
+            query = query + q_bias.astype(query.dtype)
+        if k_bias is not None:
+            key = key + k_bias.astype(key.dtype)
+        if v_bias is not None:
+            value = value + v_bias.astype(value.dtype)
+        return dot_product_attention(query, key, value, heads, backend="xla")
 
     def prep(x, bias):
         if bias is not None:
@@ -136,13 +169,6 @@ def biased_attention(
     qf = prep(query, q_bias)
     kf = prep(key, k_bias)
     vf = prep(value, v_bias)
-    # round-2 slope-method sweep (scripts/bench_flash_blocks.py, v5e, D=40):
-    # 1024x1024 is best-or-tied at every serving shape and VMEM-safe at every
-    # batch — bh=16 L=4096: 0.98 ms (vs 1.08 at 512/1024); bh=64: 4.01 (vs 4.29);
-    # L=9216: 4.81 (vs 5.12). 2048-wide q blocks win ~2% at bh<=16 but fail to
-    # compile at bh=64 (VMEM), so blocks are uniform, not per-batch.
-    blk_q = 1024 if l % 1024 == 0 else min(block // 2, l)
-    blk_k = 1024 if key.shape[1] % 1024 == 0 else min(block, key.shape[1])
     out = flash_attention_fwd(qf, kf, vf, block_q=blk_q, block_k=blk_k)
     return (
         out.reshape(b, heads, l, d).transpose(0, 2, 1, 3).reshape(b, l, inner)

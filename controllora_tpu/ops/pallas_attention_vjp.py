@@ -69,6 +69,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
 def _fwd(q, k, v, block_q, block_k, interpret=False):
     bh, lq, d = q.shape
     _, lk, _ = k.shape
+    # a non-tiling block would silently drop the tail of the sequence
+    assert lq % block_q == 0 and lk % block_k == 0, (lq, lk, block_q, block_k)
     scale = d**-0.5
     grid = (bh, lq // block_q, lk // block_k)
     o, lse = pl.pallas_call(

@@ -35,6 +35,33 @@ def test_flash_fwd_exact(bq, bk):
                                atol=2e-6)
 
 
+def test_pick_block():
+    from controllora_tpu.ops.pallas_attention import pick_block
+
+    assert pick_block(4096) == 1024
+    assert pick_block(9216) == 1024          # 768² latents
+    assert pick_block(2560) == 512           # 640×256: % 512 == 0, % 1024 != 0
+    assert pick_block(2304) == 256           # 384² latents = 9·256
+    assert pick_block(3136) == 64            # 448² latents = 49·64
+    assert pick_block(77) is None            # CLIP context never tiles
+    assert pick_block(256, cap=128) == 128
+
+
+def test_biased_attention_fallback_untileable():
+    """Lengths no block tiles route through the unfused XLA path, not an assert."""
+    from controllora_tpu.ops.attention import dot_product_attention
+    from controllora_tpu.ops.pallas_attention import biased_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 96, 80))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 80))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 96, 80))
+    qb = jax.random.normal(jax.random.PRNGKey(3), (1, 96, 80)) * 0.2
+    out = biased_attention(q, k, v, heads=2, q_bias=qb, block=64)
+    # 96 % 64 != 0 and 96 % 32... pick_block floor is 64, so this is the fallback
+    ref = dot_product_attention(q + qb, k, v, heads=2, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
 def test_biased_attention_matches_unfused():
     from controllora_tpu.ops.attention import dot_product_attention
     from controllora_tpu.ops.pallas_attention import biased_attention
