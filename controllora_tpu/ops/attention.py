@@ -56,7 +56,7 @@ def _flash(q, k, v, scale):
 
     b, h, l, d = q.shape
     rs = lambda x: x.reshape(b * h, x.shape[2], d)
-    blk = pick_block(l)  # block sweep: docs/BENCHMARKS.md (1024 preferred)
+    blk = pick_block(l, head_dim=d)  # block sweep: docs/BENCHMARKS.md
     assert blk is not None, f"flash backend requires a tileable length, got L={l}"
     out = flash_attention(rs(q), rs(k), rs(v), blk, blk)
     return out.reshape(b, h, l, d)

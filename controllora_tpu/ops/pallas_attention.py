@@ -31,14 +31,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def pick_block(length: int, cap: int = 1024) -> Optional[int]:
+def pick_block(length: int, cap: int = 1024,
+               head_dim: Optional[int] = None) -> Optional[int]:
     """Largest MXU-friendly block size that tiles `length` exactly, or None.
 
     1024×1024 won the round-2 slope sweep at every serving shape
     (docs/BENCHMARKS.md); smaller powers of two keep odd-resolution sequences
     (e.g. 384² → L=2304 = 9·256) on the flash path instead of crashing the
     grid-divisibility assert or silently truncating.
+
+    VMEM budget scales with the (lane-padded) head_dim: the sweep's 1024
+    blocks fit the 16M scoped-VMEM limit at the UNet's d≤160, but the VAE
+    mid-block attention is SINGLE-head d=512 (L=4096) and 1024 blocks
+    overflow there (18.2M measured on v5e) — wide heads cap at 512.
     """
+    if head_dim is not None and head_dim > 256:
+        cap = min(cap, 512)
     for b in (1024, 512, 256, 128, 64):
         if b <= cap and b <= length and length % b == 0:
             return b
@@ -144,8 +152,8 @@ def biased_attention(
     # batch — bh=16 L=4096: 0.98 ms (vs 1.08 at 512/1024); bh=64: 4.01 (vs 4.29);
     # L=9216: 4.81 (vs 5.12). 2048-wide q blocks win ~2% at bh<=16 but fail to
     # compile at bh=64 (VMEM), so blocks are uniform, not per-batch.
-    blk_q = pick_block(l, cap=block)
-    blk_k = pick_block(key.shape[1], cap=block)
+    blk_q = pick_block(l, cap=block, head_dim=d)
+    blk_k = pick_block(key.shape[1], cap=block, head_dim=d)
     if blk_q is None or blk_k is None:
         from controllora_tpu.ops.attention import dot_product_attention
 

@@ -45,6 +45,11 @@ def test_pick_block():
     assert pick_block(3136) == 64            # 448² latents = 49·64
     assert pick_block(77) is None            # CLIP context never tiles
     assert pick_block(256, cap=128) == 128
+    # VAE mid-block attention is single-head d=512: 1024 blocks overflow the
+    # 16M scoped-VMEM limit (18.2M measured on v5e) — wide heads cap at 512
+    assert pick_block(4096, head_dim=512) == 512
+    assert pick_block(4096, head_dim=40) == 1024
+    assert pick_block(4096, head_dim=160) == 1024
 
 
 def test_biased_attention_fallback_untileable():
