@@ -73,6 +73,11 @@ def main():
 
     def make_sampler(nimg: int):
         def sample(unet_params, vae_params, control_params, lat0, ctx, guide, gscale):
+            # in-graph chain mixing: each bench call feeds the previous call's
+            # latents back in; tanh re-normalizes INSIDE the jit (an eager host-side
+            # op here would add a full tunnel round trip per call — see
+            # docs/BENCHMARKS.md "measurement traps")
+            lat0 = jnp.tanh(lat0)
             adapters = control(control_params, guide, unet.config)
             up, adapters = fold_adapters(unet_params, adapters)
             state = sch.init_state(lat0)
@@ -109,8 +114,8 @@ def main():
         lat_in = lat0
         for _ in range(n):
             img, lat = fn(unet_params, vae_params, control_params,
-                          jnp.tanh(lat_in), ctx, guide, jnp.float32(9.0))
-            lat_in = lat  # chain: next call depends on this output
+                          lat_in, ctx, guide, jnp.float32(9.0))
+            lat_in = lat  # chain: next call depends on this output (device-resident)
         jax.block_until_ready(img)
         dt = (time.time() - t0) / n
         results[nimg] = nimg / dt

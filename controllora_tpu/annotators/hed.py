@@ -122,7 +122,9 @@ class HEDdetector:
     def __init__(self, params: Optional[Dict[str, Any]] = None, rng_seed: int = 0):
         self.net = HEDNetwork()
         if params is None:
-            params = self.net.init(
+            # jit: eager flax init is thousands of host dispatches (~10 s);
+            # compiled once, then served by the persistent compile cache
+            params = jax.jit(self.net.init)(
                 jax.random.PRNGKey(rng_seed), jnp.zeros((1, 64, 64, 3))
             )["params"]
         self.params = params

@@ -453,7 +453,7 @@ class OpenposeDetector:
                  hand_params: Optional[Any] = None, rng_seed: int = 0):
         self.body_model = BodyposeModel()
         if body_params is None:
-            body_params = self.body_model.init(
+            body_params = jax.jit(self.body_model.init)(
                 jax.random.PRNGKey(rng_seed), jnp.zeros((1, 64, 64, 3))
             )["params"]
         self.body_params = body_params

@@ -344,7 +344,9 @@ class UniformerDetector:
     def __init__(self, params: Optional[Any] = None, rng_seed: int = 0):
         self.model = UniFormerSeg()
         if params is None:
-            params = self.model.init(
+            # jit: eager flax init is thousands of host dispatches (~10 s);
+            # compiled once, then served by the persistent compile cache
+            params = jax.jit(self.model.init)(
                 jax.random.PRNGKey(rng_seed), jnp.zeros((1, 64, 64, 3))
             )["params"]
         self.params = params

@@ -22,12 +22,14 @@ from controllora_tpu.annotators.uniformer import (
 @pytest.fixture(scope="module")
 def midas_params():
     m = DPTHybridDepth()
-    return m, m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    # jit the init: eager flax init dispatches thousands of host ops (~20 s);
+    # one compiled program lands in the persistent cache
+    return m, jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
 
 
 def test_midas_shapes(midas_params):
     m, params = midas_params
-    out = m.apply({"params": params}, jnp.zeros((2, 64, 96, 3)))
+    out = jax.jit(m.apply)({"params": params}, jnp.zeros((2, 64, 96, 3)))
     assert out.shape == (2, 64, 96)
     assert np.asarray(out).min() >= 0  # non-negative depth head
 
@@ -105,12 +107,14 @@ def test_depth_to_normal():
 @pytest.fixture(scope="module")
 def uni_params():
     m = UniFormerSeg()
-    return m, m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    # jit the init: eager flax init dispatches thousands of host ops (~20 s);
+    # one compiled program lands in the persistent cache
+    return m, jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
 
 
 def test_uniformer_shapes(uni_params):
     m, params = uni_params
-    out = m.apply({"params": params}, jnp.zeros((1, 64, 96, 3)))
+    out = jax.jit(m.apply)({"params": params}, jnp.zeros((1, 64, 96, 3)))
     assert out.shape == (1, 64, 96, 150)
 
 
