@@ -91,8 +91,11 @@ def main():
 
             state, _ = jax.lax.scan(body, state, jnp.arange(steps))
             img = vae.apply({"params": vae_params}, state.sample, method=vae.decode)
-            # return the image AND latents for chaining
-            return img, state.sample
+            # return the image, latents for chaining, and an in-graph checksum:
+            # float(checksum) is the only reliable execution fence on the remote
+            # tunnel (block_until_ready does not fence; an eager reduce would add
+            # a full round trip) — docs/BENCHMARKS.md "measurement traps"
+            return img, state.sample, jnp.sum(img.astype(jnp.float32))
 
         return jax.jit(sample)
 
@@ -104,19 +107,18 @@ def main():
         lat0 = jnp.zeros((nimg, 64, 64, 4), jnp.float32)
         ctx = jnp.zeros((2 * nimg, 77, 768), dtype)
         t0 = time.time()
-        img, lat = jax.block_until_ready(
-            fn(unet_params, vae_params, control_params, lat0, ctx, guide,
-               jnp.float32(9.0))
-        )
+        img, lat, chk = fn(unet_params, vae_params, control_params, lat0, ctx,
+                           guide, jnp.float32(9.0))
+        float(chk)
         print(f"batch{nimg}: compile+first {time.time()-t0:.1f}s out {img.shape}",
               file=sys.stderr)
         t0 = time.time()
         lat_in = lat0
         for _ in range(n):
-            img, lat = fn(unet_params, vae_params, control_params,
-                          lat_in, ctx, guide, jnp.float32(9.0))
+            img, lat, chk = fn(unet_params, vae_params, control_params,
+                               lat_in, ctx, guide, jnp.float32(9.0))
             lat_in = lat  # chain: next call depends on this output (device-resident)
-        jax.block_until_ready(img)
+        float(chk)  # scalar fetch = execution fence
         dt = (time.time() - t0) / n
         results[nimg] = nimg / dt
         print(f"batch{nimg}: {dt*1000:.1f} ms -> {nimg/dt:.3f} img/s/chip",
@@ -149,13 +151,13 @@ def main():
     rng = jax.random.PRNGKey(2)
     t0 = time.time()
     tstate, m = step_fn(tstate, batch, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # scalar fetch = execution fence (see serving note above)
     print(f"train: compile+first {time.time()-t0:.1f}s", file=sys.stderr)
     rngs = [jax.block_until_ready(jax.random.fold_in(rng, i)) for i in range(6)]
     t0 = time.time()
     for i in range(6):
         tstate, m = step_fn(tstate, batch, rngs[i])  # state-chained: serializes
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     tdt = (time.time() - t0) / 6
     print(f"train: {tdt*1000:.1f} ms/step -> {1/tdt:.2f} steps/s "
           f"({tb/tdt:.1f} img/s)", file=sys.stderr)

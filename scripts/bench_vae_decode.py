@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """VAE decode batch-scaling attribution (serving regression, round 2).
 
-Measured: decode b1 = 19.9 ms but b4 = 194 ms (9.8x for 4x work). Suspects:
-(a) the d=512 mid-attn flash kernel at bh=4, (b) activation pressure from
-batched 512x512 conv stacks. Variants: batched decode with ours vs stock
-flash vs XLA attention, and per-image lax.map decode. Slope-method timing.
+Measured via bench.py-style chained dispatch: one jitted program per variant
+maps latents -> decode -> reduce back to latents, and N host-side calls chain
+the output into the next input (device-resident; no eager ops between calls).
+Slope-method scan timing returned zero for this program shape on the tunnel —
+chained dispatch is the methodology bench.py itself validates against.
 """
 
 import json
@@ -14,35 +15,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-K1 = int(os.environ.get("BENCH_K1", 2))
-K2 = int(os.environ.get("BENCH_K2", 42))
-
-
-def slope(make, args, args2, name):
-    import jax
-
-    try:
-        f1, f2 = make(K1), make(K2)
-        t0 = time.time()
-        jax.block_until_ready(f1(*args)); jax.block_until_ready(f2(*args))
-        compile_s = time.time() - t0
-        t0 = time.time()
-        jax.block_until_ready(f1(*args2))
-        t1 = time.time()
-        jax.block_until_ready(f2(*args2))
-        t2 = time.time()
-        dt = ((t2 - t1) - (t1 - t0)) / (K2 - K1)
-        print(json.dumps({"component": name, "ms": round(dt * 1000, 2),
-                          "compile_s": round(compile_s, 1)}))
-    except Exception as e:
-        print(json.dumps({"component": name, "error": str(e)[:200]}))
-    sys.stdout.flush()
+N = 10
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from controllora_tpu.models.vae import AutoencoderKL, VAEConfig
     from controllora_tpu.models.zoo import cast_tree
@@ -55,47 +33,66 @@ def main():
         dtype)
     print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
 
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    lat = jnp.zeros((b, 64, 64, 4), jnp.bfloat16)
-    lat2 = jnp.asarray(np.full((b, 64, 64, 4), 0.1, np.float32), jnp.bfloat16)
+    batches = [int(a) for a in sys.argv[1:]] or [1, 4]
 
-    def make_batched(K, impl):
-        def f(vp, z):
-            def step(c, _):
-                img = vae.apply({"params": vp}, c, method=vae.decode)
-                return c + 1e-3 * jnp.mean(img).astype(c.dtype), None
+    def run(name, fn, z0):
+        try:
+            # fns return (z, checksum-scalar); float(scalar) is the only
+            # reliable fence on the tunnel (block_until_ready does not fence)
+            # and an in-graph scalar avoids an eager-op round trip
+            t0 = time.time()
+            z, c = fn(vae_params, z0)
+            float(c)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for _ in range(N):
+                z, c = fn(vae_params, z)
+            float(c)
+            dt = (time.time() - t0) / N
+            print(json.dumps({"component": name, "ms": round(dt * 1000, 2),
+                              "compile_s": round(compile_s, 1)}))
+        except Exception as e:
+            print(json.dumps({"component": name, "error": str(e)[:200]}))
+        sys.stdout.flush()
 
-            c, _ = jax.lax.scan(step, z, None, length=K)
-            return c
+    for b in batches:
+        z0 = jnp.full((b, 64, 64, 4), 0.1, jnp.bfloat16)
 
-        return jax.jit(f)
+        @jax.jit
+        def dec_batched(vp, z):
+            img = vae.apply({"params": vp}, z, method=vae.decode)
+            # reduce the image back to latent shape so calls can chain
+            # perturbation must survive bf16 rounding or the tunnel's
+            # (executable, args) result cache serves every chained call
+            z = z + jnp.tanh(img[:, ::8, ::8, :1]) * 0.3
+            return z, jnp.sum(z.astype(jnp.float32))
 
-    # ours (current default path)
-    os.environ.pop("CONTROLLORA_FLASH_IMPL", None)
-    slope(lambda K: make_batched(K, "ours"), (vae_params, lat), (vae_params, lat2),
-          f"decode_b{b}_batched_ours")
+        run(f"decode_b{b}_batched_ours", dec_batched, z0)
 
-    # stock flash kernel
-    os.environ["CONTROLLORA_FLASH_IMPL"] = "stock"
-    slope(lambda K: make_batched(K, "stock"), (vae_params, lat), (vae_params, lat2),
-          f"decode_b{b}_batched_stock")
-    os.environ.pop("CONTROLLORA_FLASH_IMPL", None)
+        os.environ["CONTROLLORA_FLASH_IMPL"] = "stock"
 
-    # per-image sequential decode (activation footprint = batch 1)
-    def make_map(K):
-        def f(vp, z):
-            def step(c, _):
-                img = jax.lax.map(
-                    lambda zi: vae.apply({"params": vp}, zi[None],
-                                         method=vae.decode)[0], c)
-                return c + 1e-3 * jnp.mean(img).astype(c.dtype), None
+        @jax.jit
+        def dec_stock(vp, z):
+            img = vae.apply({"params": vp}, z, method=vae.decode)
+            # perturbation must survive bf16 rounding or the tunnel's
+            # (executable, args) result cache serves every chained call
+            z = z + jnp.tanh(img[:, ::8, ::8, :1]) * 0.3
+            return z, jnp.sum(z.astype(jnp.float32))
 
-            c, _ = jax.lax.scan(step, z, None, length=K)
-            return c
+        run(f"decode_b{b}_batched_stock", dec_stock, z0)
+        os.environ.pop("CONTROLLORA_FLASH_IMPL", None)
 
-        return jax.jit(f)
+        @jax.jit
+        def dec_map(vp, z):
+            img = jax.lax.map(
+                lambda zi: vae.apply({"params": vp}, zi[None], method=vae.decode)[0],
+                z)
+            # perturbation must survive bf16 rounding or the tunnel's
+            # (executable, args) result cache serves every chained call
+            z = z + jnp.tanh(img[:, ::8, ::8, :1]) * 0.3
+            return z, jnp.sum(z.astype(jnp.float32))
 
-    slope(make_map, (vae_params, lat), (vae_params, lat2), f"decode_b{b}_laxmap")
+        run(f"decode_b{b}_laxmap", dec_map, z0)
 
 
 if __name__ == "__main__":
