@@ -90,7 +90,9 @@ def main():
                 return sch.step(state, eu + gscale * (ec - eu), i, steps, tables), None
 
             state, _ = jax.lax.scan(body, state, jnp.arange(steps))
-            img = vae.apply({"params": vae_params}, state.sample, method=vae.decode)
+            from controllora_tpu.models.vae import decode_per_image
+
+            img = decode_per_image(vae, vae_params, state.sample)
             # return the image, latents for chaining, and an in-graph checksum:
             # float(checksum) is the only reliable execution fence on the remote
             # tunnel (block_until_ready does not fence; an eager reduce would add

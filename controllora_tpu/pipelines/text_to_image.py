@@ -148,10 +148,11 @@ class StableDiffusionControlLoRAPipeline:
                 return step(state, eps_g, i), None
 
             state, _ = jax.lax.scan(body, state, jnp.arange(num_inference_steps))
-            image = self.vae.apply(
-                {"params": vae_params}, get_sample(state), method=self.vae.decode,
-            )
-            return image
+            # per-image decode: batched 512² decode is 2.4× superlinear on v5e
+            # (models/vae.py decode_per_image)
+            from controllora_tpu.models.vae import decode_per_image
+
+            return decode_per_image(self.vae, vae_params, get_sample(state))
 
         jitted = jax.jit(sample_fn, static_argnames=("fold",))
         fn = lambda *a, **kw: jitted(self.frozen["unet"], self.frozen["vae"], *a, **kw)

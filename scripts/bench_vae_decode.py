@@ -1,11 +1,14 @@
 #!/usr/bin/env python
-"""VAE decode batch-scaling attribution (serving regression, round 2).
+"""VAE decode batch-scaling attribution (serving, round 2).
 
-Measured via bench.py-style chained dispatch: one jitted program per variant
-maps latents -> decode -> reduce back to latents, and N host-side calls chain
-the output into the next input (device-resident; no eager ops between calls).
-Slope-method scan timing returned zero for this program shape on the tunnel —
-chained dispatch is the methodology bench.py itself validates against.
+Measured (bench_serving_components.py): decode b1 = 19.9 ms, b4 = 194 ms -
+2.4x per image. Variants here: batched decode with ours vs stock flash
+mid-attention, and per-image lax.map decode (activation footprint = batch 1).
+
+Methodology: in-graph scan slope (K2-K1 extra iterations, data-dependent carry)
+- the only repeat-timing immune to the tunnel's dispatch result cache. MUST run
+uncontended: host CPU contention poisons the slope into +-0 (BENCHMARKS.md
+"measurement traps"). Fences via float() scalar fetch.
 """
 
 import json
@@ -15,12 +18,33 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N = 10
+K1 = int(os.environ.get("BENCH_K1", 2))
+K2 = int(os.environ.get("BENCH_K2", 10))
+
+
+def slope(make, args, args2, name):
+    try:
+        f1, f2 = make(K1), make(K2)
+        t0 = time.time()
+        float(f1(*args)); float(f2(*args))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        float(f1(*args2))
+        t1 = time.time()
+        float(f2(*args2))
+        t2 = time.time()
+        dt = ((t2 - t1) - (t1 - t0)) / (K2 - K1)
+        print(json.dumps({"component": name, "ms": round(dt * 1000, 2),
+                          "compile_s": round(compile_s, 1)}))
+    except Exception as e:
+        print(json.dumps({"component": name, "error": str(e)[:200]}))
+    sys.stdout.flush()
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from controllora_tpu.models.vae import AutoencoderKL, VAEConfig
     from controllora_tpu.models.zoo import cast_tree
@@ -33,66 +57,40 @@ def main():
         dtype)
     print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
 
-    batches = [int(a) for a in sys.argv[1:]] or [1, 4]
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    lat = jnp.zeros((b, 64, 64, 4), jnp.bfloat16)
+    lat2 = jnp.asarray(np.full((b, 64, 64, 4), 0.1, np.float32), jnp.bfloat16)
 
-    def run(name, fn, z0):
-        try:
-            # fns return (z, checksum-scalar); float(scalar) is the only
-            # reliable fence on the tunnel (block_until_ready does not fence)
-            # and an in-graph scalar avoids an eager-op round trip
-            t0 = time.time()
-            z, c = fn(vae_params, z0)
-            float(c)
-            compile_s = time.time() - t0
-            t0 = time.time()
-            for _ in range(N):
-                z, c = fn(vae_params, z)
-            float(c)
-            dt = (time.time() - t0) / N
-            print(json.dumps({"component": name, "ms": round(dt * 1000, 2),
-                              "compile_s": round(compile_s, 1)}))
-        except Exception as e:
-            print(json.dumps({"component": name, "error": str(e)[:200]}))
-        sys.stdout.flush()
+    def make(decode_body):
+        def mk(K):
+            def f(vp, z):
+                def step(c, _):
+                    img = decode_body(vp, c)
+                    # mix must survive bf16 rounding (0.3*tanh, not 1e-3*mean)
+                    return c + jnp.tanh(img[:, ::8, ::8, :1]) * 0.3, None
 
-    for b in batches:
-        z0 = jnp.full((b, 64, 64, 4), 0.1, jnp.bfloat16)
+                c, _ = jax.lax.scan(step, z, None, length=K)
+                return jnp.sum(c.astype(jnp.float32))
 
-        @jax.jit
-        def dec_batched(vp, z):
-            img = vae.apply({"params": vp}, z, method=vae.decode)
-            # reduce the image back to latent shape so calls can chain
-            # perturbation must survive bf16 rounding or the tunnel's
-            # (executable, args) result cache serves every chained call
-            z = z + jnp.tanh(img[:, ::8, ::8, :1]) * 0.3
-            return z, jnp.sum(z.astype(jnp.float32))
+            return jax.jit(f)
 
-        run(f"decode_b{b}_batched_ours", dec_batched, z0)
+        return mk
 
-        os.environ["CONTROLLORA_FLASH_IMPL"] = "stock"
+    batched = lambda vp, c: vae.apply({"params": vp}, c, method=vae.decode)
+    permap = lambda vp, c: jax.lax.map(
+        lambda ci: vae.apply({"params": vp}, ci[None], method=vae.decode)[0], c)
 
-        @jax.jit
-        def dec_stock(vp, z):
-            img = vae.apply({"params": vp}, z, method=vae.decode)
-            # perturbation must survive bf16 rounding or the tunnel's
-            # (executable, args) result cache serves every chained call
-            z = z + jnp.tanh(img[:, ::8, ::8, :1]) * 0.3
-            return z, jnp.sum(z.astype(jnp.float32))
+    os.environ.pop("CONTROLLORA_FLASH_IMPL", None)
+    slope(make(batched), (vae_params, lat), (vae_params, lat2),
+          f"decode_b{b}_batched_ours")
 
-        run(f"decode_b{b}_batched_stock", dec_stock, z0)
-        os.environ.pop("CONTROLLORA_FLASH_IMPL", None)
+    os.environ["CONTROLLORA_FLASH_IMPL"] = "stock"
+    slope(make(batched), (vae_params, lat), (vae_params, lat2),
+          f"decode_b{b}_batched_stock")
+    os.environ.pop("CONTROLLORA_FLASH_IMPL", None)
 
-        @jax.jit
-        def dec_map(vp, z):
-            img = jax.lax.map(
-                lambda zi: vae.apply({"params": vp}, zi[None], method=vae.decode)[0],
-                z)
-            # perturbation must survive bf16 rounding or the tunnel's
-            # (executable, args) result cache serves every chained call
-            z = z + jnp.tanh(img[:, ::8, ::8, :1]) * 0.3
-            return z, jnp.sum(z.astype(jnp.float32))
-
-        run(f"decode_b{b}_laxmap", dec_map, z0)
+    slope(make(permap), (vae_params, lat), (vae_params, lat2),
+          f"decode_b{b}_laxmap")
 
 
 if __name__ == "__main__":
