@@ -208,10 +208,10 @@ class CrossAttention(nn.Module):
             k = dense(inner, self.dtype, "to_k", use_bias=False)(ctx_in)
             v = dense(inner, self.dtype, "to_v", use_bias=False)(ctx_in)
             L = hidden.shape[1]
-            if (ctx is None and L >= 2048 and L % 512 == 0
+            if (ctx is None and L >= 2048
                     and jax.default_backend() in ("tpu", "axon")):
-                # first-party fused kernel: bias adds + flash in one pallas call
-                # (2.17 ms vs 2.33 stock / 4.69 XLA at L=4096 on v5e)
+                # first-party fused kernel: bias adds + flash in one pallas call;
+                # arbitrary L handled by pad + KV-mask (pallas_attention.py)
                 from controllora_tpu.ops.pallas_attention import biased_attention
 
                 attn = biased_attention(

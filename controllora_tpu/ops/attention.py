@@ -43,7 +43,10 @@ def _use_flash(q_len: int, kv_len: int, backend: str) -> bool:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return q_len == kv_len and q_len >= 2048 and q_len % 512 == 0
+    # no divisibility requirement: the kernels pad + KV-mask arbitrary lengths
+    # (bench_odd_resolutions.py: XLA collapses at long odd L — 191 ms at 6400,
+    # 338 at 7744 — while padded-512 flash stays on the linear-HBM curve)
+    return q_len == kv_len and q_len >= 2048
 
 
 def _flash(q, k, v, scale):
@@ -51,14 +54,13 @@ def _flash(q, k, v, scale):
     both the forward and the backward are in-house Pallas. (B,H,L,D) layout is
     flattened to (B·H, L, D) so head count rides the embarrassingly-parallel
     grid dimension."""
-    from controllora_tpu.ops.pallas_attention import pick_block
-    from controllora_tpu.ops.pallas_attention_vjp import flash_attention
+    from controllora_tpu.ops.pallas_attention import serving_blocks
+    from controllora_tpu.ops.pallas_attention_vjp import flash_attention_padded
 
     b, h, l, d = q.shape
     rs = lambda x: x.reshape(b * h, x.shape[2], d)
-    blk = pick_block(l, head_dim=d)  # block sweep: docs/BENCHMARKS.md
-    assert blk is not None, f"flash backend requires a tileable length, got L={l}"
-    out = flash_attention(rs(q), rs(k), rs(v), blk, blk)
+    blk = serving_blocks(l, d)  # block policy: docs/BENCHMARKS.md
+    out = flash_attention_padded(rs(q), rs(k), rs(v), blk, blk)
     return out.reshape(b, h, l, d)
 
 

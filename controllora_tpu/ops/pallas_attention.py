@@ -54,7 +54,7 @@ def pick_block(length: int, cap: int = 1024,
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale,
-                 block_k, kv_len):
+                 block_k, kv_valid):
     """One (batch·head, q-block) program; loops over KV blocks with online softmax."""
     j = pl.program_id(2)  # kv block index (innermost grid dim)
 
@@ -71,6 +71,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BLOCK_Q, BLOCK_K)
+    if kv_valid is not None:
+        # mask padded KV columns (only the final block carries any): static arg,
+        # zero compiler cost when the sequence tiles exactly
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_valid, s, NEG_INF)
 
     m_prev = m_ref[...]  # (BLOCK_Q, 1)
     l_prev = l_ref[...]
@@ -91,13 +96,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale,
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_valid"))
 def flash_attention_fwd(
     q: jnp.ndarray,  # (BH, L, D)
     k: jnp.ndarray,
     v: jnp.ndarray,
     block_q: int = 512,
     block_k: int = 512,
+    kv_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Non-causal dense flash attention over flattened (batch·heads, L, D)."""
     bh, lq, d = q.shape
@@ -107,7 +113,7 @@ def flash_attention_fwd(
 
     grid = (bh, lq // block_q, lk // block_k)
     kernel = functools.partial(
-        _attn_kernel, scale=scale, block_k=block_k, kv_len=lk
+        _attn_kernel, scale=scale, block_k=block_k, kv_valid=kv_valid
     )
     return pl.pallas_call(
         kernel,
@@ -130,6 +136,24 @@ def flash_attention_fwd(
     )(q, k, v)
 
 
+def serving_blocks(length: int, head_dim: int, cap: int = 1024) -> int:
+    """Block size for the serving flash path at a given sequence length.
+
+    Round-2 policy, measured on v5e (scripts/bench_flash_blocks.py +
+    bench_odd_resolutions.py): 1024×1024 when the length tiles it exactly
+    (best-or-tied everywhere, e.g. 0.98 ms at bh=16 L=4096 D=40); otherwise
+    512×512 at the PADDED length — padded-512 beats both the exact smaller
+    block (L=2304: 0.74 vs 1.21 ms at exact 256) and the XLA einsum path,
+    which collapses at long odd lengths (L=6400: 191 ms, L=7744: 338 ms).
+    Wide heads (VAE mid-attn d=512) cap at 512 for the 16M scoped-VMEM budget.
+    """
+    if head_dim > 256:
+        cap = min(cap, 512)
+    if length % 1024 == 0 and cap >= 1024:
+        return 1024
+    return min(512, cap)
+
+
 def biased_attention(
     query: jnp.ndarray,  # (B, L, H*D) pre-head-split projections
     key: jnp.ndarray,
@@ -138,46 +162,37 @@ def biased_attention(
     q_bias: Optional[jnp.ndarray] = None,  # (Bc, L, H*D) folded control biases
     k_bias: Optional[jnp.ndarray] = None,
     v_bias: Optional[jnp.ndarray] = None,
-    block: int = 512,
+    block: int = 1024,
 ) -> jnp.ndarray:
     """Fused folded-adapter attention: bias adds + head split + flash + head merge.
 
     Biases broadcast over the CFG batch (control batch 1 vs latent batch 2).
-    Falls back to unfused bias-add + XLA attention when no block size tiles the
-    sequence (non-power-of-two lengths like 56²=3136)."""
+    Arbitrary lengths are handled by q/kv padding + in-kernel KV masking
+    (serving_blocks policy)."""
     b, l, inner = query.shape
+    lk = key.shape[1]
     d = inner // heads
-    # round-2 slope-method sweep (scripts/bench_flash_blocks.py, v5e, D=40):
-    # 1024x1024 is best-or-tied at every serving shape and VMEM-safe at every
-    # batch — bh=16 L=4096: 0.98 ms (vs 1.08 at 512/1024); bh=64: 4.01 (vs 4.29);
-    # L=9216: 4.81 (vs 5.12). 2048-wide q blocks win ~2% at bh<=16 but fail to
-    # compile at bh=64 (VMEM), so blocks are uniform, not per-batch.
-    blk_q = pick_block(l, cap=block, head_dim=d)
-    blk_k = pick_block(key.shape[1], cap=block, head_dim=d)
-    if blk_q is None or blk_k is None:
-        from controllora_tpu.ops.attention import dot_product_attention
+    blk_q = serving_blocks(l, d, cap=block)
+    blk_k = serving_blocks(lk, d, cap=block)
 
-        if q_bias is not None:
-            query = query + q_bias.astype(query.dtype)
-        if k_bias is not None:
-            key = key + k_bias.astype(key.dtype)
-        if v_bias is not None:
-            value = value + v_bias.astype(value.dtype)
-        return dot_product_attention(query, key, value, heads, backend="xla")
-
-    def prep(x, bias):
+    def prep(x, bias, blk):
         if bias is not None:
             x = x + jnp.broadcast_to(bias.astype(x.dtype), x.shape)
-        return (
+        x = (
             x.reshape(b, x.shape[1], heads, d)
             .transpose(0, 2, 1, 3)
             .reshape(b * heads, x.shape[1], d)
         )
+        pad = (-x.shape[1]) % blk
+        return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
 
-    qf = prep(query, q_bias)
-    kf = prep(key, k_bias)
-    vf = prep(value, v_bias)
-    out = flash_attention_fwd(qf, kf, vf, block_q=blk_q, block_k=blk_k)
+    qf = prep(query, q_bias, blk_q)
+    kf = prep(key, k_bias, blk_k)
+    vf = prep(value, v_bias, blk_k)
+    out = flash_attention_fwd(
+        qf, kf, vf, block_q=blk_q, block_k=blk_k,
+        kv_valid=lk if kf.shape[1] != lk else None,
+    )[:, :l]
     return (
         out.reshape(b, heads, l, d).transpose(0, 2, 1, 3).reshape(b, l, inner)
     )

@@ -31,7 +31,20 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------- forward
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale):
+def _kv_mask(s, j, block_k, kv_valid):
+    """Mask padded KV columns (cols with global index >= kv_valid) to NEG_INF.
+
+    kv_valid is STATIC (baked at trace time); when the sequence tiles exactly
+    this is a no-op the compiler never sees. Padding is always < one block, so
+    only the final KV block carries masked columns."""
+    if kv_valid is None:
+        return s
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < kv_valid, s, NEG_INF)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *,
+                scale, block_k, kv_valid):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -47,6 +60,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    s = _kv_mask(s, j, block_k, kv_valid)
 
     m_prev, l_prev = m_ref[...], l_ref[...]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -66,7 +80,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
         lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])
 
 
-def _fwd(q, k, v, block_q, block_k, interpret=False):
+def _fwd(q, k, v, block_q, block_k, interpret=False, kv_valid=None):
     bh, lq, d = q.shape
     _, lk, _ = k.shape
     # a non-tiling block would silently drop the tail of the sequence
@@ -74,7 +88,8 @@ def _fwd(q, k, v, block_q, block_k, interpret=False):
     scale = d**-0.5
     grid = (bh, lq // block_q, lk // block_k)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+                          kv_valid=kv_valid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -109,8 +124,9 @@ def _fwd(q, k, v, block_q, block_k, interpret=False):
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, block_k, kv_valid):
     i = pl.program_id(2)  # q-block index (sequential)
+    j = pl.program_id(1)  # kv-block index (this program's fixed KV block)
 
     @pl.when(i == 0)
     def _init():
@@ -127,6 +143,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                              # (BQ, BK)
+    s = _kv_mask(s, j, block_k, kv_valid)
     p = jnp.exp(s - lse)
     dv_acc[...] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -146,7 +163,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
-                   dq_ref, dq_acc, *, scale):
+                   dq_ref, dq_acc, *, scale, block_k, kv_valid):
     j = pl.program_id(2)  # kv-block index (sequential)
 
     @pl.when(j == 0)
@@ -163,6 +180,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    s = _kv_mask(s, j, block_k, kv_valid)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -177,7 +195,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
-def _bwd(block_q, block_k, interpret, res, g):
+def _bwd(block_q, block_k, interpret, kv_valid, res, g):
     q, k, v, o, lse = res
     do = g
     bh, lq, d = q.shape
@@ -188,7 +206,8 @@ def _bwd(block_q, block_k, interpret, res, g):
                    keepdims=True)  # (bh, L, 1)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale),
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_k=block_k,
+                          kv_valid=kv_valid),
         grid=(bh, lk // block_k, lq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),  # q
@@ -217,7 +236,8 @@ def _bwd(block_q, block_k, interpret, res, g):
     )(q, k, v, do, lse, dcap)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale),
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
+                          kv_valid=kv_valid),
         grid=(bh, lq // block_q, lk // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -241,17 +261,47 @@ def _bwd(block_q, block_k, interpret, res, g):
 # ------------------------------------------------------------------- public API
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(q, k, v, block_q: int = 512, block_k: int = 512,
-                    interpret: bool = False):
-    """Differentiable non-causal dense flash attention over (B·H, L, D)."""
-    o, _ = _fwd(q, k, v, block_q, block_k, interpret)
+                    interpret: bool = False, kv_valid: int = None):
+    """Differentiable non-causal dense flash attention over (B·H, L, D).
+
+    Sequence lengths must tile (block_q, block_k); `kv_valid` (static) marks
+    trailing KV columns >= kv_valid as padding (masked to -inf in all kernels).
+    Use flash_attention_padded for arbitrary lengths."""
+    o, _ = _fwd(q, k, v, block_q, block_k, interpret, kv_valid)
     return o
 
 
-def _vjp_fwd(q, k, v, block_q, block_k, interpret):
-    o, lse = _fwd(q, k, v, block_q, block_k, interpret)
+def _vjp_fwd(q, k, v, block_q, block_k, interpret, kv_valid):
+    o, lse = _fwd(q, k, v, block_q, block_k, interpret, kv_valid)
     return o, (q, k, v, o, lse)
 
 
 flash_attention.defvjp(_vjp_fwd, _bwd)
+
+
+def flash_attention_padded(q, k, v, block_q: int = 512, block_k: int = 512,
+                           interpret: bool = False):
+    """Flash attention for ARBITRARY sequence lengths via padding + KV masking.
+
+    Measured on v5e (scripts/bench_odd_resolutions.py, bh=16 D=40): the XLA
+    einsum path collapses at long odd lengths (L=6400: 191 ms, L=7744: 338 ms —
+    the fp32 score matrix thrashes HBM) while 512-block flash at the padded
+    length stays on the linear-HBM curve (L=2560: 0.74 ms). Padded q rows
+    compute garbage that is sliced away; padded KV columns are masked in-kernel,
+    and autodiff through pad/slice zero-fills dO for padded rows, which zeroes
+    their dK/dV contributions exactly.
+    """
+    bh, lq, d = q.shape
+    _, lk, _ = k.shape
+    pq = (-lq) % block_q
+    pk = (-lk) % block_k
+    if pq == 0 and pk == 0:
+        return flash_attention(q, k, v, block_q, block_k, interpret)
+    qp = jnp.pad(q, ((0, 0), (0, pq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
+    o = flash_attention(qp, kp, vp, block_q, block_k, interpret,
+                        lk if pk else None)
+    return o[:, :lq]

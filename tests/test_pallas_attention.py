@@ -35,34 +35,32 @@ def test_flash_fwd_exact(bq, bk):
                                atol=2e-6)
 
 
-def test_pick_block():
-    from controllora_tpu.ops.pallas_attention import pick_block
+def test_serving_blocks_policy():
+    from controllora_tpu.ops.pallas_attention import serving_blocks
 
-    assert pick_block(4096) == 1024
-    assert pick_block(9216) == 1024          # 768² latents
-    assert pick_block(2560) == 512           # 640×256: % 512 == 0, % 1024 != 0
-    assert pick_block(2304) == 256           # 384² latents = 9·256
-    assert pick_block(3136) == 64            # 448² latents = 49·64
-    assert pick_block(77) is None            # CLIP context never tiles
-    assert pick_block(256, cap=128) == 128
+    assert serving_blocks(4096, 40) == 1024
+    assert serving_blocks(9216, 40) == 1024     # 768² latents
+    assert serving_blocks(2560, 40) == 512      # 640×256 — pads are cheaper than
+    assert serving_blocks(2304, 40) == 512      # small exact blocks (measured)
+    assert serving_blocks(77, 64) == 512        # padded up to one block
     # VAE mid-block attention is single-head d=512: 1024 blocks overflow the
     # 16M scoped-VMEM limit (18.2M measured on v5e) — wide heads cap at 512
-    assert pick_block(4096, head_dim=512) == 512
-    assert pick_block(4096, head_dim=40) == 1024
-    assert pick_block(4096, head_dim=160) == 1024
+    assert serving_blocks(4096, 512) == 512
+    assert serving_blocks(4096, 160) == 1024
 
 
-def test_biased_attention_fallback_untileable():
-    """Lengths no block tiles route through the unfused XLA path, not an assert."""
+@pytest.mark.parametrize("l", [96, 288, 2304 // 16])
+def test_biased_attention_padded_masked(l):
+    """Non-tiling lengths run flash with q/KV padding + in-kernel masking and
+    match the unfused XLA reference exactly."""
     from controllora_tpu.ops.attention import dot_product_attention
     from controllora_tpu.ops.pallas_attention import biased_attention
 
-    q = jax.random.normal(jax.random.PRNGKey(0), (2, 96, 80))
-    k = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 80))
-    v = jax.random.normal(jax.random.PRNGKey(2), (2, 96, 80))
-    qb = jax.random.normal(jax.random.PRNGKey(3), (1, 96, 80)) * 0.2
-    out = biased_attention(q, k, v, heads=2, q_bias=qb, block=64)
-    # 96 % 64 != 0 and 96 % 32... pick_block floor is 64, so this is the fallback
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, l, 80))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, l, 80))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, l, 80))
+    qb = jax.random.normal(jax.random.PRNGKey(3), (1, l, 80)) * 0.2
+    out = biased_attention(q, k, v, heads=2, q_bias=qb, block=128)
     ref = dot_product_attention(q + qb, k, v, heads=2, backend="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 

@@ -78,3 +78,38 @@ def test_jit_and_uneven_blocks():
         np.asarray(f(q, k, v)), np.asarray(ref_attention(q, k, v)),
         atol=2e-5, rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("L", [144, 200])  # non-multiples of the 64 block
+def test_padded_forward_matches_reference(L):
+    from controllora_tpu.ops.pallas_attention_vjp import flash_attention_padded
+
+    q, k, v = make_qkv(bh=2, L=L)
+    out = flash_attention_padded(q, k, v, 64, 64, True)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_attention(q, k, v)), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_padded_grads_match_reference():
+    """KV masking must hold through the backward: padded columns contribute
+    exactly zero to dq, and padded dO rows exactly zero to dk/dv."""
+    from controllora_tpu.ops.pallas_attention_vjp import flash_attention_padded
+
+    q, k, v = make_qkv(bh=2, L=144)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_padded(q, k, v, 64, 64, True)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(ref_attention(q, k, v)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-5, rtol=1e-4,
+            err_msg=f"d{name} mismatch"
+        )
