@@ -104,7 +104,9 @@ def main():
     results = {}
     n = 6
     # batch 1 = the apps' per-sample latency config; batch 4 = serving throughput
-    for nimg in (1, 4):
+    # (BENCH_NIMGS env overrides, e.g. BENCH_NIMGS=8 for batch exploration)
+    nimgs = tuple(int(x) for x in os.environ.get("BENCH_NIMGS", "1,4").split(","))
+    for nimg in nimgs:
         fn = make_sampler(nimg)
         lat0 = jnp.zeros((nimg, 64, 64, 4), jnp.float32)
         ctx = jnp.zeros((2 * nimg, 77, 768), dtype)

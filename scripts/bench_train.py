@@ -43,15 +43,17 @@ def main(batch_size: int = 8, steps: int = 8):
 
     t0 = time.time()
     state, metrics = step_fn(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
     print(f"compile+first {time.time()-t0:.1f}s loss={float(metrics['loss']):.3f}",
           file=sys.stderr)
 
-    # chained: state dependency forces sequential execution
+    # chained: state dependency forces sequential execution; rngs pre-materialized
+    # (an eager fold_in inside the loop costs a tunnel round trip per step) and
+    # the fence is a scalar fetch — docs/BENCHMARKS.md "measurement traps"
+    rngs = [jax.block_until_ready(jax.random.fold_in(rng, i)) for i in range(steps)]
     t0 = time.time()
     for i in range(steps):
-        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+        state, metrics = step_fn(state, batch, rngs[i])
+    float(metrics["loss"])
     dt = (time.time() - t0) / steps
     print(json.dumps({
         "metric": "train steps/sec/chip (SD1.5+ControlLoRA base, 512^2, "
