@@ -170,6 +170,25 @@ def test_vae_roundtrip_shapes():
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_vae_decode_per_image_matches_batched():
+    """Serving uses per-image lax.map decode (batched decode is 2.4x superlinear
+    on v5e, docs/BENCHMARKS.md) — numerics must match batched decode exactly."""
+    from controllora_tpu.models.vae import decode_per_image
+
+    cfg = VAEConfig(block_out_channels=(16, 16, 32, 32), layers_per_block=1,
+                    norm_num_groups=8)
+    vae = AutoencoderKL(cfg)
+    z1 = jnp.ones((1, 4, 4, 4)) * 0.3
+    params = vae.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))["params"]
+    z = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 4, 4))
+    batched = vae.apply({"params": params}, z, method=vae.decode)
+    mapped = decode_per_image(vae, params, z)
+    np.testing.assert_allclose(np.asarray(mapped), np.asarray(batched), atol=1e-5)
+    # batch-1 falls through to the plain decode
+    one = decode_per_image(vae, params, z1)
+    assert one.shape == (1, 32, 32, 3)
+
+
 def test_clip_causal_mask():
     cfg = CLIPTextConfig(vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
                          intermediate_size=64)
