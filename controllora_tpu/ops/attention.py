@@ -65,14 +65,21 @@ def _flash(q, k, v, scale):
 
 
 def _flash_stock(q, k, v, scale):
-    """jax's stock TPU flash kernel — kept as a comparison/fallback backend."""
+    """jax's stock TPU flash kernel — kept as a comparison/fallback backend.
+    No padding support here: lengths must tile a power-of-two block."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         flash_attention,
     )
 
+    from controllora_tpu.ops.pallas_attention import pick_block
+
     L = q.shape[2]
-    blk = min(512, L)
+    blk = pick_block(L, cap=512)
+    if blk is None:
+        raise ValueError(
+            f"flash_stock backend needs a power-of-two-tileable length, got L={L}; "
+            "use the default first-party backend (pads arbitrary lengths)")
     bs = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
