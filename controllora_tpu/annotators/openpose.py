@@ -3,9 +3,11 @@
 Capability-parity target: reference annotator/openpose/ (SURVEY.md §3.5):
   * `BodyposeModel` — VGG trunk + 6 two-branch CPM stages (38-ch PAFs, 19-ch heatmaps),
   * `HandposeModel` — single-branch 22-keypoint CPM,
-  * `Body.__call__` decode: single-scale (scale_search=[0.5], boxsize 368, stride 8)
-    inference, Gaussian-smoothed 4-neighbor peak finding, PAF line-integral limb
-    scoring with greedy bipartite assignment, person-subset assembly and pruning,
+  * `Body.__call__` decode: scale_search-averaged inference (default [0.5] — the
+    reference's effective config; its commented [0.5,1,1.5,2] sweep is accepted
+    too; boxsize 368, stride 8), Gaussian-smoothed 4-neighbor peak finding, PAF
+    line-integral limb scoring with greedy bipartite assignment, person-subset
+    assembly and pruning,
   * `draw_bodypose` / `draw_handpose` skeleton rasterization (numpy, no cv2).
 
 The network + heatmap/PAF upsampling + Gaussian smoothing + peak masks run on-device
@@ -463,21 +465,31 @@ class OpenposeDetector:
             lambda p, x: self.body_model.apply({"params": p}, x)
         )
 
-    def infer_maps(self, ori_img: np.ndarray, boxsize: int = 368, stride: int = 8):
-        """Single-scale inference (scale_search=[0.5]) -> (paf, heatmap) at image res."""
-        scale = 0.5 * boxsize / ori_img.shape[0]
-        h = max(stride, int(round(ori_img.shape[0] * scale)))
-        w = max(stride, int(round(ori_img.shape[1] * scale)))
-        small = np.asarray(
-            jax.image.resize(jnp.asarray(ori_img, jnp.float32), (h, w, 3), "bicubic")
-        )
-        padded, _ = _pad_to_stride(small, stride)
-        inp = jnp.asarray(padded[None] / 256.0 - 0.5, jnp.float32)
-        paf, heat = self._body_jit(self.body_params, inp)
+    def infer_maps(self, ori_img: np.ndarray, boxsize: int = 368, stride: int = 8,
+                   scale_search=(0.5,)):
+        """(paf, heatmap) at image resolution, averaged over `scale_search` like the
+        reference body path (annotator/openpose/body.py:25-58). The reference's
+        effective configuration is the single scale [0.5] (body.py:26), which stays
+        the default; passing e.g. (0.5, 1.0, 1.5, 2.0) reproduces its commented
+        full sweep. Each scale is one fixed compiled shape per image size."""
         H, W = ori_img.shape[:2]
-        paf = jax.image.resize(paf[0], (H, W, 38), "bicubic")
-        heat = jax.image.resize(heat[0], (H, W, 19), "bicubic")
-        return np.asarray(paf), np.asarray(heat)
+        paf_acc = np.zeros((H, W, 38), np.float32)
+        heat_acc = np.zeros((H, W, 19), np.float32)
+        for s in scale_search:
+            scale = s * boxsize / ori_img.shape[0]
+            h = max(stride, int(round(ori_img.shape[0] * scale)))
+            w = max(stride, int(round(ori_img.shape[1] * scale)))
+            small = np.asarray(
+                jax.image.resize(jnp.asarray(ori_img, jnp.float32), (h, w, 3), "bicubic")
+            )
+            padded, _ = _pad_to_stride(small, stride)
+            inp = jnp.asarray(padded[None] / 256.0 - 0.5, jnp.float32)
+            paf, heat = self._body_jit(self.body_params, inp)
+            paf_acc += np.asarray(
+                jax.image.resize(paf[0], (H, W, 38), "bicubic")) / len(scale_search)
+            heat_acc += np.asarray(
+                jax.image.resize(heat[0], (H, W, 19), "bicubic")) / len(scale_search)
+        return paf_acc, heat_acc
 
     def infer_hand(self, crop: np.ndarray, boxsize: int = 368, stride: int = 8,
                    scale_search=(0.5, 1.0, 1.5, 2.0)):
@@ -507,8 +519,9 @@ class OpenposeDetector:
             ) / len(scale_search)
         return acc
 
-    def __call__(self, ori_img: np.ndarray, hand: bool = False):
-        paf, heat = self.infer_maps(ori_img)
+    def __call__(self, ori_img: np.ndarray, hand: bool = False,
+                 scale_search=(0.5,)):
+        paf, heat = self.infer_maps(ori_img, scale_search=scale_search)
         peaks = find_peaks(heat[:, :, :18])
         conns = score_limbs(paf, peaks, ori_img.shape[0])
         candidate, subset = assemble_people(peaks, conns)

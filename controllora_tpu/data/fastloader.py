@@ -85,15 +85,21 @@ class NativeFill50kBatcher:
     """Batch-level fill50k synthesis in C; drop-in replacement for
     registry.batch_iterator over Fill50kSynthetic."""
 
-    def __init__(self, dataset, batch_size: int, seed: int = 0, nthreads: int = 8):
+    def __init__(self, dataset, batch_size: int, seed: int = 0, nthreads: int = 8,
+                 start_step: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.nthreads = nthreads
+        self.start_step = start_step
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed)
         n = len(self.ds)
+        # resume fast-forward: replay the index draws only (no synthesis) so the
+        # post-resume batch sequence equals the uninterrupted run's
+        for _ in range(self.start_step):
+            rng.integers(0, n, self.batch_size)
         while True:
             idx = rng.integers(0, n, self.batch_size)
             specs = np.empty((self.batch_size, 9), np.float32)
@@ -108,6 +114,47 @@ class NativeFill50kBatcher:
                 specs, self.ds.resolution, self.nthreads
             )
             yield {"pixel_values": pixels, "guide_values": guides, "input_ids": ids}
+
+
+class NativeNormalizeBatcher:
+    """batch_iterator-compatible batcher for datasets exposing ``getitem_u8``
+    (e.g. the HF-dataset adapter): samples stay uint8 through decode/crop and the
+    whole batch's [-1, 1] float conversion runs as ONE threaded C call per tensor
+    (native normalize_u8) — 4 bytes/px less host traffic and no per-sample numpy
+    division. Index order, epoch structure, and `start_step` fast-forward match
+    registry.batch_iterator exactly (same RNG consumption), so resume semantics
+    are identical to the python path."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0, shuffle: bool = True,
+                 drop_last: bool = True, start_step: int = 0, nthreads: int = 8):
+        assert hasattr(dataset, "getitem_u8"), "dataset must expose getitem_u8"
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.start_step = start_step
+        self.nthreads = nthreads
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed)
+        n = len(self.ds)
+        bs = self.batch_size
+        skip = self.start_step
+        while True:
+            order = rng.permutation(n) if self.shuffle else np.arange(n)
+            for s in range(0, n - (bs - 1 if self.drop_last else 0), bs):
+                if skip > 0:
+                    skip -= 1
+                    continue
+                items = [self.ds.getitem_u8(int(i)) for i in order[s : s + bs]]
+                pix = np.stack([it["pixel_values_u8"] for it in items])
+                gui = np.stack([it["guide_values_u8"] for it in items])
+                yield {
+                    "pixel_values": normalize_u8_native(pix, self.nthreads),
+                    "guide_values": normalize_u8_native(gui, self.nthreads),
+                    "input_ids": np.stack([it["input_ids"] for it in items]),
+                }
 
 
 class Prefetcher:

@@ -67,7 +67,10 @@ class HFImageGuideDataset(DatasetBase):
     def __len__(self) -> int:
         return self.size
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def getitem_u8(self, idx: int) -> Dict[str, np.ndarray]:
+        """Decoded/cropped sample with pixels still uint8 — the native data plane
+        batches the [-1,1] float conversion in C (fastloader.normalize_u8) instead
+        of paying per-sample numpy division."""
         rng = np.random.default_rng(self.seed * 999_983 + idx)
         rec = self.ds[int(idx)]
         img = np.asarray(rec[self.image_column].convert("RGB"))
@@ -82,7 +85,15 @@ class HFImageGuideDataset(DatasetBase):
             # take a random caption when multiple (reference tokenize_captions :533)
             caption = caption[int(rng.integers(0, len(caption)))]
         return {
-            "pixel_values": img.astype(np.float32) / 127.5 - 1.0,
-            "guide_values": guide.astype(np.float32) / 127.5 - 1.0,
+            "pixel_values_u8": np.ascontiguousarray(img, np.uint8),
+            "guide_values_u8": np.ascontiguousarray(guide, np.uint8),
             "input_ids": self.tokenizer([str(caption)])[0],
+        }
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        r = self.getitem_u8(idx)
+        return {
+            "pixel_values": r["pixel_values_u8"].astype(np.float32) / 127.5 - 1.0,
+            "guide_values": r["guide_values_u8"].astype(np.float32) / 127.5 - 1.0,
+            "input_ids": r["input_ids"],
         }

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import sys
 import time
+import zipfile
 from typing import Dict, Optional
 
 import numpy as np
@@ -54,6 +55,10 @@ class LatentCachedDataset(DatasetBase):
                 print("latent cache: size mismatch; rebuilding", file=sys.stderr)
             except FileNotFoundError:
                 pass
+            except (OSError, ValueError, KeyError, zipfile.BadZipFile) as e:
+                # A corrupt/truncated npz (e.g. interrupted np.savez) or one missing
+                # mean/logvar must rebuild, not crash training startup.
+                print(f"latent cache: unreadable ({e!r}); rebuilding", file=sys.stderr)
         self._build(vae, vae_params, batch_size, verbose)
         if cache_path is not None:
             np.savez(cache_path, mean=self.mean, logvar=self.logvar)

@@ -63,14 +63,26 @@ def batch_iterator(
     shuffle: bool = True,
     drop_last: bool = True,
     epochs: Optional[int] = None,
+    start_step: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Host-side batcher: yields stacked numpy batches forever (or for `epochs`)."""
+    """Host-side batcher: yields stacked numpy batches forever (or for `epochs`).
+
+    `start_step` fast-forwards the stream so a resumed run sees exactly the batches
+    an uninterrupted run would at that step (the reference's skip_first_batches,
+    reference train_text_to_image_control_lora.py:745-749). Because the order is a
+    pure function of `seed`, skipping advances indices only — no dataset access, so
+    fast-forward is O(start_step) permutation draws rather than O(start_step·batch)
+    sample loads."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
     epoch = 0
+    skip = start_step
     while epochs is None or epoch < epochs:
         order = rng.permutation(n) if shuffle else np.arange(n)
         for s in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
+            if skip > 0:
+                skip -= 1
+                continue
             idx = order[s : s + batch_size]
             items = [dataset[int(i)] for i in idx]
             yield {

@@ -261,7 +261,13 @@ class ControlLoRA:
     ) -> Dict[str, AdapterStack]:
         """Assign bucket adapters to UNet attention layers in processor-name order —
         the pure equivalent of the reference's pop-and-set_attn_processor install loop
-        (reference train_text_to_image_control_lora.py:468-487)."""
+        (reference train_text_to_image_control_lora.py:468-487).
+
+        A bucket running out of adapter slots is a hard error: the reference's loop
+        skips the name (train…py:483 `if len(lora_layers) != 0`), but the resulting
+        short dict then fails diffusers' `set_attn_processor` count check — silently
+        dropping control on trailing layers is never valid, so fail here with the
+        offending layer named."""
         cfg = self.config
         names = unet_lib.attention_processor_names(unet_config)
         n_blocks = len(unet_config.block_out_channels)
@@ -271,7 +277,12 @@ class ControlLoRA:
             bucket = unet_lib.processor_bucket(name, n_blocks)
             j = cursors[bucket]
             if j >= len(params["lora_layers"][bucket]):
-                continue
+                raise ValueError(
+                    f"ControlLoRA config provides only {j} adapter slot(s) for bucket "
+                    f"{bucket} but UNet layer {name!r} needs slot {j + 1} — config/UNet "
+                    "mismatch (the reference fails this in set_attn_processor's "
+                    "processor-count check)."
+                )
             cursors[bucket] += 1
             adapters[name] = AdapterStack(
                 main=AttnAdapter(

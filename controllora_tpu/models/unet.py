@@ -499,6 +499,22 @@ def processor_bucket(name: str, n_blocks: int) -> int:
     raise ValueError(name)
 
 
+def derive_cross_attention_dims(config: UNetConfig = UNetConfig()):
+    """Per-bucket `lora_cross_attention_dims` tuple matching a UNet exactly.
+
+    Walks `attention_processor_names` in install order and records each layer's
+    cross dim (None for self-attn) under its resolution bucket — the layout the
+    reference hand-writes in its configs (reference configs/*.json,
+    `lora_cross_attention_dims`) and that `build_adapters` requires to cover every
+    attention layer. Use this when building reduced/smoke configs so adapter-slot
+    counts can never drift from the UNet."""
+    n_blocks = len(config.block_out_channels)
+    buckets = [[] for _ in range(n_blocks)]
+    for name in attention_processor_names(config):
+        buckets[processor_bucket(name, n_blocks)].append(processor_cross_dim(name, config))
+    return tuple(tuple(b) for b in buckets)
+
+
 def processor_hidden_size(name: str, config: UNetConfig = UNetConfig()) -> int:
     """Channel width (attention hidden size) at a processor's location."""
     if name.startswith("mid_block"):

@@ -58,6 +58,12 @@ def _flash(q, k, v, scale):
     from controllora_tpu.ops.pallas_attention_vjp import flash_attention_padded
 
     b, h, l, d = q.shape
+    if abs(scale - d**-0.5) > 1e-9 * abs(scale):
+        # The Pallas kernels bake in the d**-0.5 softmax scale; a caller threading a
+        # custom scale through would silently diverge from the XLA path otherwise.
+        raise NotImplementedError(
+            f"flash backend only supports the default softmax scale d**-0.5, got {scale}"
+        )
     rs = lambda x: x.reshape(b * h, x.shape[2], d)
     blk = serving_blocks(l, d)  # block policy: docs/BENCHMARKS.md
     out = flash_attention_padded(rs(q), rs(k), rs(v), blk, blk)

@@ -66,7 +66,14 @@ class StableDiffusionControlLoRAPipeline:
         control_lora: Optional[ControlLoRA] = None,
         control_params: Optional[Any] = None,
         scheduler: Optional[DPMSolverMultistepScheduler] = None,
+        mesh=None,
     ):
+        """`mesh`: optional `jax.sharding.Mesh` with a 'data' axis — multi-chip
+        data-parallel serving. The image batch (CFG pairs included) is sharded over
+        the axis and every device runs the complete sampler on its slice via
+        `shard_map`; serving dp needs zero collectives, so scaling is linear on ICI.
+        The reference serves single-GPU only (apps/gradio_canny2image.py); this is
+        the TPU-native extension for slice serving (e.g. v5e-8)."""
         self.unet = unet
         self.vae = vae
         self.text_encoder = text_encoder
@@ -75,6 +82,7 @@ class StableDiffusionControlLoRAPipeline:
         self.control_lora = control_lora
         self.control_params = control_params
         self.scheduler = scheduler or DPMSolverMultistepScheduler()
+        self.mesh = mesh
         self._sample_cache: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------ text
@@ -127,13 +135,21 @@ class StableDiffusionControlLoRAPipeline:
         def sample_fn(unet_params, vae_params, latents, ctx, adapters, guidance_scale,
                       lora_scale, fold):
             # frozen weights are jit ARGUMENTS — closure capture would embed them as
-            # multi-GB HLO constants and cripple (remote) compilation
+            # multi-GB HLO constants and cripple (remote) compilation.
+            # ctx arrives as the (2, 77, hidden) [uncond ‖ cond] pair and is repeated
+            # to the (local) batch HERE — so that under shard_map each device builds
+            # its own CFG context and the global [uncond*n ‖ cond*n] layout never has
+            # to shard across devices.
             if fold and adapters:
                 # collapse the whole adapter stack into the kernels + per-position
                 # biases once — the 20-step loop then runs at plain-SD1.5 cost
                 from controllora_tpu.ops.folding import fold_adapters
 
                 unet_params, adapters = fold_adapters(unet_params, adapters, lora_scale)
+            n = latents.shape[0]
+            ctx_n = ctx if n == 1 else jnp.concatenate(
+                [jnp.repeat(ctx[:1], n, 0), jnp.repeat(ctx[1:], n, 0)], axis=0
+            )
             state = init_state(latents)
 
             def body(state, i):
@@ -141,7 +157,7 @@ class StableDiffusionControlLoRAPipeline:
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 t = jnp.broadcast_to(ts[i], (lat2.shape[0],))
                 eps = self.unet.apply(
-                    {"params": unet_params}, lat2, t, ctx, adapters, lora_scale
+                    {"params": unet_params}, lat2, t, ctx_n, adapters, lora_scale
                 )
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps_g = eps_u + guidance_scale * (eps_c - eps_u)
@@ -154,7 +170,29 @@ class StableDiffusionControlLoRAPipeline:
 
             return decode_per_image(self.vae, vae_params, get_sample(state))
 
-        jitted = jax.jit(sample_fn, static_argnames=("fold",))
+        if self.mesh is not None:
+            from functools import partial
+
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def sharded(unet_params, vae_params, latents, ctx, adapters,
+                        guidance_scale, lora_scale, fold):
+                # Each device runs the FULL sampler on its batch slice; weights,
+                # context pair, scales, and (batch-1) control states replicate.
+                f = shard_map(
+                    partial(sample_fn, fold=fold),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P("data"), P(), P(), P(), P()),
+                    out_specs=P("data"),
+                    check_rep=False,
+                )
+                return f(unet_params, vae_params, latents, ctx, adapters,
+                         guidance_scale, lora_scale)
+
+            jitted = jax.jit(sharded, static_argnames=("fold",))
+        else:
+            jitted = jax.jit(sample_fn, static_argnames=("fold",))
         fn = lambda *a, **kw: jitted(self.frozen["unet"], self.frozen["vae"], *a, **kw)
         self._sample_cache[key] = fn
         return fn
@@ -210,15 +248,30 @@ class StableDiffusionControlLoRAPipeline:
         if latents is not None:
             lat0 = latents if latents.ndim == 4 else latents[None]
             n = lat0.shape[0]
+            if num_images != 1 and num_images != n:
+                raise ValueError(
+                    f"explicit latents provide the batch ({n} image(s)); "
+                    f"num_images={num_images} conflicts — pass a ({num_images}, H/8, "
+                    "W/8, C) latents batch or drop num_images"
+                )
         else:
             n = num_images
             rng, k = jax.random.split(rng)
             lat0 = jax.random.normal(k, (n, lh, lw, self.unet.config.in_channels),
                                      jnp.float32)
-        ctx_n = ctx if n == 1 else jnp.concatenate(
-            [jnp.repeat(ctx[:1], n, 0), jnp.repeat(ctx[1:], n, 0)], axis=0
-        )
-        img = sampler(lat0, ctx_n, adapters, jnp.float32(guidance_scale),
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            if n % n_dev:
+                raise ValueError(
+                    f"data-parallel serving shards the image batch over {n_dev} "
+                    f"devices; num_images={n} must be a multiple of the mesh size"
+                )
+            if guide is not None and guide.shape[0] != 1:
+                raise ValueError(
+                    "data-parallel serving supports a single (replicated) guide; got "
+                    f"guide batch {guide.shape[0]}"
+                )
+        img = sampler(lat0, ctx, adapters, jnp.float32(guidance_scale),
                       jnp.float32(lora_scale), foldable)
         img = np.asarray(jax.device_get(img), np.float32)
         images = []

@@ -84,6 +84,20 @@ def dump(args):
             unet.apply({"params": frozen["unet"]}, jnp.asarray(x["latents"]),
                        jnp.asarray(x["t"]), jnp.asarray(out["clip_hidden"]), adapters)
         )
+    if args.hed_weights or args.hed_random:
+        # HED sigmoid probability on the uint8-quantized guide — same contract as
+        # the torch dumper (reference annotator/hed/__init__.py:88-116: BGR flip,
+        # /255; quantization matches the detector entry point)
+        from controllora_tpu.annotators.hed import HEDdetector
+
+        det = (HEDdetector.from_pretrained(args.hed_weights)
+               if args.hed_weights else HEDdetector())
+        img_u8 = np.clip((x["guide"][0] + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        bgr = img_u8[:, :, ::-1].astype(np.float32) / 255.0
+        out["hed_prob"] = np.asarray(
+            det.net.apply({"params": det.params}, jnp.asarray(bgr)[None])
+        )
+
     # scheduler math on recorded noise
     sch = DDPMScheduler()
     out["ddpm_noisy"] = np.asarray(
@@ -118,6 +132,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--pretrained", type=str, default=None)
     p.add_argument("--control_lora_dir", type=str, default=None)
+    p.add_argument("--hed_weights", type=str, default=None,
+                   help="network-bsds500.pth for the HED fixture (torch_compat import)")
+    p.add_argument("--hed_random", action="store_true",
+                   help="dump the HED fixture with random weights (schema check only)")
     p.add_argument("--model_variant", type=str, default="sd15",
                    choices=["sd15", "smoke"])
     p.add_argument("--resolution", type=int, default=512)

@@ -22,6 +22,12 @@ def parse_args(argv=None):
     p.add_argument("--model_variant", type=str, default="sd15", choices=["sd15", "smoke"])
     p.add_argument("--control_lora_dir", type=str, default=None,
                    help="directory with config.json + diffusion_pytorch_model.safetensors")
+    p.add_argument("--resume_from_checkpoint", type=str, default=None,
+                   help="'latest' or a step number: sample from a mid-training "
+                        "checkpoint-N under --control_lora_dir (a training "
+                        "output_dir) and re-save the final-format artifact there — "
+                        "the reference eval's checkpoint path "
+                        "(test_text_to_image_control_lora.py:706-731)")
     p.add_argument("--lora_weights", type=str, default=None,
                    help="DreamBooth attn-procs LoRA (pytorch_lora_weights.safetensors) "
                         "— sample with a plain LoRA instead of / in addition to a "
@@ -65,8 +71,33 @@ def main(argv=None):
 
     tokenizer = default_tokenizer(require_clip=bool(args.pretrained_model_name_or_path))
     control_lora = control_params = None
+    load_dir = args.control_lora_dir
+    if args.control_lora_dir and args.resume_from_checkpoint:
+        from controllora_tpu.training.checkpoint import checkpoint_step_dirs
+
+        dirs = checkpoint_step_dirs(args.control_lora_dir)
+        if not dirs:
+            raise SystemExit(f"no checkpoint-* under {args.control_lora_dir}")
+        if args.resume_from_checkpoint == "latest":
+            step_num, ckpt = dirs[-1]
+        else:
+            match = {s: p for s, p in dirs}
+            step_num = int(args.resume_from_checkpoint)
+            if step_num not in match:
+                raise SystemExit(
+                    f"checkpoint-{step_num} not found; have {sorted(match)}")
+            ckpt = match[step_num]
+        load_dir = os.path.join(ckpt, "control_lora")
+        print(f"sampling from training checkpoint-{step_num}")
     if args.control_lora_dir:
-        control_params, ccfg = load_control_lora(args.control_lora_dir)
+        control_params, ccfg = load_control_lora(load_dir)
+        if args.resume_from_checkpoint:
+            # re-save the final-format artifact at the run root, like the
+            # reference eval (test_text_to_image_control_lora.py:727-731)
+            from controllora_tpu.training.checkpoint import save_control_lora
+
+            save_control_lora(args.control_lora_dir, control_params, ccfg)
+            print(f"re-saved final artifact to {args.control_lora_dir}")
         if (args.model_variant == "smoke"
                 and ccfg.lora_block_out_channels != unet.config.block_out_channels):
             raise SystemExit("checkpoint was not trained against the smoke UNet")

@@ -87,7 +87,8 @@ def parse_args(argv=None):
                    help="sample a validation image every N steps (0 = off)")
     p.add_argument("--validation_prompt", type=str, default=None)
     p.add_argument("--report_to", type=str, default="jsonl",
-                   help="jsonl | tensorboard | wandb | all (reference train:284-292)")
+                   help="jsonl | tensorboard | wandb | comet_ml | all "
+                        "(reference train:284-292)")
     p.add_argument("--push_to_hub", action="store_true",
                    help="push the final artifact to the hub (reference train:931-939)")
     p.add_argument("--hub_model_id", type=str, default=None)
@@ -150,17 +151,15 @@ def main(argv=None):
     ccfg = load_config(args.control_lora_config)
     if args.model_variant == "smoke":
         from controllora_tpu.config import ControlLoRAConfig
+        from controllora_tpu.models.unet import derive_cross_attention_dims
 
         ccfg = ControlLoRAConfig(
             block_out_channels=(8, 16, 16, 32),
             lora_block_in_channels=(32, 32, 32, 32),
             lora_block_out_channels=unet.config.block_out_channels,
-            lora_cross_attention_dims=(
-                (None, 768, None, 768),
-                (None, 768, None, 768),
-                (None, 768, None, 768),
-                (None, 768),
-            ),
+            # derived, not hand-listed: adapter-slot counts must cover every UNet
+            # attention layer (build_adapters hard-errors on shortfall)
+            lora_cross_attention_dims=derive_cross_attention_dims(unet.config),
             lora_control_version=ccfg.lora_control_version,
         )
     # hint-encoder COMPUTE follows --mixed_precision (params stay fp32) — the
@@ -228,26 +227,13 @@ def main(argv=None):
             dataset, vae, frozen["vae"], cache_path=args.latent_cache_path
         )
     global_batch = args.train_batch_size * n_dev
-    batches = None
-    if args.dataset_name == "process/fill50k" and not args.cache_latents:
-        # native C batcher + background prefetch (11x the python batcher at 512^2)
-        from controllora_tpu.data.fastloader import (
-            NativeFill50kBatcher,
-            Prefetcher,
-            native_available,
-        )
 
-        if native_available():
-            batches = iter(Prefetcher(
-                iter(NativeFill50kBatcher(dataset, global_batch, seed=args.seed))
-            ))
-            print("using native fastloader data plane")
-    if batches is None:
-        batches = batch_iterator(dataset, global_batch, seed=args.seed)
-
-    # ---- state (+ resume)
+    # ---- state (+ resume) — restored BEFORE the data iterator exists so the stream
+    # can fast-forward to start_step (reference skip_first_batches, train:745-749)
     state = trainer.init_state(jax.random.PRNGKey(args.seed), image_size=args.resolution)
     start_step = 0
+    data_seed = args.seed
+    meta_path = os.path.join(args.output_dir, "run_meta.json")
     if args.resume_from_checkpoint:
         where = (args.output_dir if args.resume_from_checkpoint == "latest"
                  else args.resume_from_checkpoint)
@@ -255,16 +241,71 @@ def main(argv=None):
         if restored is not None:
             state, start_step = restored, at
             print(f"resumed from step {at}")
+            # run provenance: the RNG/data streams are pure functions of the
+            # original run's seed — a resume with a different --seed must keep the
+            # recorded one for step↔data reproducibility
+            if os.path.exists(meta_path):
+                import json as _json
+
+                with open(meta_path) as f:
+                    meta = _json.load(f)
+                if meta.get("seed") != args.seed:
+                    print(f"WARNING: resuming with --seed {args.seed} but the run was "
+                          f"started with seed {meta['seed']}; using the recorded seed "
+                          "for data order and noise streams")
+                data_seed = meta.get("seed", args.seed)
+                if meta.get("global_batch") not in (None, global_batch):
+                    print(f"WARNING: global batch changed ({meta['global_batch']} -> "
+                          f"{global_batch}); the resumed data stream will not match "
+                          "the original run's")
         else:
             print("no checkpoint found; starting fresh")
+    if is_main and start_step == 0:
+        import json as _json
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            _json.dump({"seed": args.seed, "global_batch": global_batch,
+                        "dataset_name": args.dataset_name,
+                        "resolution": args.resolution}, f)
+
+    batches = None
+    if not args.cache_latents:
+        # native C data plane + background prefetch: full fill50k synthesis in C
+        # (11x the python batcher at 512^2), or batched C normalize for any
+        # dataset exposing uint8 samples (HF adapter)
+        from controllora_tpu.data.fastloader import (
+            NativeFill50kBatcher,
+            NativeNormalizeBatcher,
+            Prefetcher,
+            native_available,
+        )
+
+        if native_available():
+            if args.dataset_name == "process/fill50k":
+                batches = iter(Prefetcher(
+                    iter(NativeFill50kBatcher(dataset, global_batch, seed=data_seed,
+                                              start_step=start_step))
+                ))
+                print("using native fastloader data plane")
+            elif hasattr(dataset, "getitem_u8"):
+                batches = iter(Prefetcher(
+                    iter(NativeNormalizeBatcher(dataset, global_batch,
+                                                seed=data_seed,
+                                                start_step=start_step))
+                ))
+                print("using native batch-normalize data plane")
+    if batches is None:
+        batches = batch_iterator(dataset, global_batch, seed=data_seed,
+                                 start_step=start_step)
 
     if mesh is not None:
         state = replicate(state, mesh)
         trainer.frozen = replicate(trainer.frozen, mesh)
 
     train_step = trainer.make_train_step()
-    logger = MetricsLogger(args.output_dir, args.report_to)
-    run_key = jax.random.PRNGKey(args.seed + 1)
+    logger = MetricsLogger(args.output_dir, args.report_to, enabled=is_main)
+    run_key = jax.random.PRNGKey(data_seed + 1)
 
     # in-training validation sampling (reference train:816-861): render a guided
     # sample from a fixed dataset item every --validation_steps
@@ -329,11 +370,20 @@ def main(argv=None):
 
         if (is_main and args.checkpointing_steps
                 and (step + 1) % args.checkpointing_steps == 0):
-            save_train_state(args.output_dir, step + 1, jax.device_get(state),
-                             keep=args.checkpoints_total_limit)
+            ckpt_path = save_train_state(args.output_dir, step + 1,
+                                         jax.device_get(state),
+                                         keep=args.checkpoints_total_limit)
+            # each checkpoint also carries the reference-format adapter artifact so
+            # eval can sample any mid-training step without reconstructing optimizer
+            # state (the reference eval loads checkpoints and re-saves weights,
+            # test_text_to_image_control_lora.py:706-731)
+            save_control_lora(os.path.join(ckpt_path, "control_lora"),
+                              jax.device_get(state).params, ccfg,
+                              formats=("safetensors",))
             print(f"saved checkpoint-{step+1}")
 
-        if val_pipe is not None and (step + 1) % args.validation_steps == 0:
+        if (is_main and val_pipe is not None
+                and (step + 1) % args.validation_steps == 0):
             run_validation(step + 1, state.params)
 
     # final artifact (reference train:922-929)

@@ -1,0 +1,100 @@
+"""End-to-end CLI smoke: train → kill → resume must reproduce the uninterrupted
+run exactly (params AND data order), and mid-training checkpoints must be
+sampleable — the reference's resume/eval semantics
+(train_text_to_image_control_lora.py:713-749, test_…py:706-731)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "scripts")
+sys.path.insert(0, SCRIPTS)
+
+
+def _train(out, steps, ckpt_every=2, resume=False):
+    import train as train_cli
+
+    argv = [
+        "--model_variant", "smoke", "--dataset_name", "process/fill50k",
+        "--resolution", "64", "--train_batch_size", "2",
+        "--max_train_steps", str(steps), "--output_dir", out,
+        "--checkpointing_steps", str(ckpt_every), "--log_every", "2",
+        "--seed", "11",
+    ]
+    if resume:
+        argv += ["--resume_from_checkpoint", "latest"]
+    train_cli.main(argv)
+
+
+def test_batch_iterator_fast_forward():
+    """start_step=k replays exactly the batches an uninterrupted run sees from k."""
+    from controllora_tpu.data import Fill50kSynthetic
+    from controllora_tpu.data.registry import batch_iterator
+    from controllora_tpu.data.tokenizer import HashTokenizer
+
+    ds = Fill50kSynthetic(HashTokenizer(), resolution=32, size=20, seed=0)
+    full = batch_iterator(ds, 4, seed=3)
+    skipped = [next(full) for _ in range(9)][5:]  # batches 5..8 of the full stream
+    resumed = batch_iterator(ds, 4, seed=3, start_step=5)
+    for want in skipped:
+        got = next(resumed)
+        for k in want:
+            np.testing.assert_array_equal(want[k], got[k])
+
+
+def test_native_batcher_fast_forward():
+    from controllora_tpu.data import Fill50kSynthetic
+    from controllora_tpu.data.fastloader import NativeFill50kBatcher, native_available
+    from controllora_tpu.data.tokenizer import HashTokenizer
+
+    if not native_available():
+        pytest.skip("native loader unavailable")
+    ds = Fill50kSynthetic(HashTokenizer(), resolution=32, size=20, seed=0)
+    full = iter(NativeFill50kBatcher(ds, 4, seed=3))
+    want = [next(full) for _ in range(5)][3:]
+    resumed = iter(NativeFill50kBatcher(ds, 4, seed=3, start_step=3))
+    for w in want:
+        g = next(resumed)
+        for k in w:
+            np.testing.assert_array_equal(w[k], g[k])
+
+
+def test_train_kill_resume_and_sample(tmp_path):
+    from controllora_tpu.training.checkpoint import load_control_lora
+
+    run_a = str(tmp_path / "uninterrupted")
+    run_b = str(tmp_path / "resumed")
+
+    _train(run_a, steps=6, ckpt_every=100)       # straight 6-step run
+    _train(run_b, steps=4, ckpt_every=2)         # "killed" after step 4
+    assert os.path.isdir(os.path.join(run_b, "checkpoint-4"))
+    # each checkpoint carries a directly sampleable reference-format artifact
+    assert os.path.exists(os.path.join(
+        run_b, "checkpoint-4", "control_lora", "config.json"))
+    _train(run_b, steps=6, resume=True)          # resume 4 -> 6
+
+    pa, _ = load_control_lora(run_a)
+    pb, _ = load_control_lora(run_b)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        # identical params: resume restores exact fp32 state AND fast-forwards the
+        # data stream, so steps 5-6 consume the same batches + noise as run A
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    # sample from the mid-training checkpoint (reference eval path)
+    import sample as sample_cli
+
+    out = str(tmp_path / "eval")
+    sample_cli.main([
+        "--model_variant", "smoke", "--control_lora_dir", run_b,
+        "--resume_from_checkpoint", "4", "--num_validation_images", "1",
+        "--num_inference_steps", "2", "--resolution", "64",
+        "--output_dir", out, "--seed", "5",
+    ])
+    assert os.path.exists(os.path.join(out, "0.png"))
+    # eval re-saved the run-root artifact from the checkpoint (reference parity)
+    assert os.path.exists(os.path.join(run_b, "diffusion_pytorch_model.safetensors"))

@@ -34,7 +34,7 @@ def test_dryrun_self_provisions_without_conftest_env():
         env=env,
         capture_output=True,
         text=True,
-        timeout=560,
+        timeout=840,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip(8): ok" in out.stdout

@@ -9,7 +9,11 @@ import pytest
 from controllora_tpu.config import ControlLoRAConfig
 from controllora_tpu.models.control_lora import ControlLoRA
 from controllora_tpu.models.lora import make_plain_lora_adapters, AdapterStack, AttnAdapter
-from controllora_tpu.models.unet import UNet2DConditionModel, UNetConfig
+from controllora_tpu.models.unet import (
+    UNet2DConditionModel,
+    UNetConfig,
+    derive_cross_attention_dims,
+)
 from controllora_tpu.ops.folding import fold_adapters
 
 TINY_UNET = UNetConfig(
@@ -22,12 +26,7 @@ def tiny_control_cfg(**kw):
         block_out_channels=(8, 16, 16, 32),
         lora_block_in_channels=(32, 32, 32, 32),
         lora_block_out_channels=(32, 64, 96, 96),
-        lora_cross_attention_dims=(
-            (None, 768, None, 768),
-            (None, 768, None, 768),
-            (None, 768, None, 768),
-            (None, 768),
-        ),
+        lora_cross_attention_dims=derive_cross_attention_dims(TINY_UNET),
     )
     base.update(kw)
     return ControlLoRAConfig(**base)

@@ -49,3 +49,25 @@ def test_bad_column_raises():
 def test_max_train_samples():
     ds = HFImageGuideDataset(dataset=make_hf_ds(), resolution=64, max_train_samples=2)
     assert len(ds) == 2
+
+
+def test_native_normalize_batcher_matches_python_path():
+    """The C batch-normalize data plane must yield exactly the python batcher's
+    stream (values, order, resume fast-forward)."""
+    from controllora_tpu.data.fastloader import NativeNormalizeBatcher, native_available
+    from controllora_tpu.data.registry import batch_iterator
+
+    if not native_available():
+        pytest.skip("native loader unavailable")
+    ds = HFImageGuideDataset(dataset=make_hf_ds(), resolution=64)
+    py = batch_iterator(ds, 2, seed=5)
+    nat = iter(NativeNormalizeBatcher(ds, 2, seed=5))
+    for _ in range(3):
+        want, got = next(py), next(nat)
+        for k in want:
+            np.testing.assert_allclose(want[k], got[k], atol=1e-6)
+    # fast-forward parity
+    skipped = next(iter(NativeNormalizeBatcher(ds, 2, seed=5, start_step=3)))
+    want = next(py)
+    for k in want:
+        np.testing.assert_allclose(want[k], skipped[k], atol=1e-6)

@@ -12,6 +12,7 @@ from controllora_tpu.models.unet import (
     UNet2DConditionModel,
     UNetConfig,
     attention_processor_names,
+    derive_cross_attention_dims,
     processor_bucket,
     processor_cross_dim,
     processor_hidden_size,
@@ -25,13 +26,29 @@ TINY_CONTROL = ControlLoRAConfig(
     block_out_channels=(8, 16, 16, 32),
     lora_block_in_channels=(32, 32, 32, 32),
     lora_block_out_channels=(32, 64, 96, 96),
-    lora_cross_attention_dims=(
-        (None, 768, None, 768),
-        (None, 768, None, 768),
-        (None, 768, None, 768),
-        (None, 768),
-    ),
+    lora_cross_attention_dims=derive_cross_attention_dims(TINY_UNET),
 )
+
+
+def test_build_adapters_slot_shortfall_raises():
+    """A config providing fewer adapter slots than the UNet has attention layers must
+    fail loudly at install, naming the first uncovered layer (the reference's short
+    dict fails diffusers' set_attn_processor count check; silently dropping control
+    on trailing layers is never valid)."""
+    import dataclasses
+
+    short = dataclasses.replace(
+        TINY_CONTROL,
+        lora_cross_attention_dims=tuple(
+            b[:-2] if len(b) > 2 else b
+            for b in TINY_CONTROL.lora_cross_attention_dims
+        ),
+    )
+    cl = ControlLoRA(short)
+    params = cl.init(jax.random.PRNGKey(0), image_size=64)
+    controls = cl.apply(params, jnp.zeros((1, 64, 64, 3)))
+    with pytest.raises(ValueError, match="adapter slot"):
+        cl.build_adapters(params, controls, TINY_UNET)
 
 
 @pytest.fixture(scope="module")

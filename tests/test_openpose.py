@@ -235,6 +235,22 @@ def test_hand_decode_below_threshold_zero():
     np.testing.assert_array_equal(decode_hand_peaks(hm), np.zeros((21, 2), int))
 
 
+def test_infer_maps_body_multi_scale():
+    """Body path accepts the reference's scale_search list
+    (annotator/openpose/body.py:25-26): multi-scale average differs from the
+    default single-scale and keeps image-resolution output shapes."""
+    from controllora_tpu.annotators.openpose import OpenposeDetector
+
+    det = OpenposeDetector()
+    img = np.random.default_rng(2).integers(0, 255, (48, 40, 3)).astype(np.uint8)
+    paf1, heat1 = det.infer_maps(img)
+    paf2, heat2 = det.infer_maps(img, scale_search=(0.5, 1.0))
+    assert paf1.shape == paf2.shape == (48, 40, 38)
+    assert heat1.shape == heat2.shape == (48, 40, 19)
+    assert np.abs(paf2 - paf1).max() > 1e-6
+    assert np.abs(heat2 - heat1).max() > 1e-6
+
+
 def test_infer_hand_four_scale_average():
     from controllora_tpu.annotators.openpose import HandposeModel, OpenposeDetector
     import jax

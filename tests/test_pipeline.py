@@ -10,6 +10,7 @@ from controllora_tpu.data.tokenizer import HashTokenizer
 from controllora_tpu.models.control_lora import ControlLoRA
 from controllora_tpu.models.lora import make_plain_lora_adapters
 from controllora_tpu.models import zoo
+from controllora_tpu.models.unet import derive_cross_attention_dims
 from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
 from controllora_tpu.pipelines.text_to_image import merge_extra_loras
 
@@ -17,12 +18,7 @@ TINY_CONTROL = ControlLoRAConfig(
     block_out_channels=(8, 16, 16, 32),
     lora_block_in_channels=(32, 32, 32, 32),
     lora_block_out_channels=(32, 64, 96, 96),
-    lora_cross_attention_dims=(
-        (None, 768, None, 768),
-        (None, 768, None, 768),
-        (None, 768, None, 768),
-        (None, 768),
-    ),
+    lora_cross_attention_dims=derive_cross_attention_dims(zoo.SMOKE_UNET),
 )
 
 
@@ -149,6 +145,32 @@ def test_num_images_batched_matches_singles(pipe):
                       latents=lats[i : i + 1], return_array=True)[0]
         # batched vs single GEMM shapes reorder fp32 accumulation; bound the drift
         np.testing.assert_allclose(batched[i], single, atol=1e-4)
+
+
+def test_mesh_serving_matches_single_device(pipe):
+    """Data-parallel serving: sharding the image batch over the 8-device mesh must
+    yield the same images as the single-device batched render (per-device slices run
+    the identical sampler; no collectives on the dp serving path)."""
+    from controllora_tpu.parallel import make_mesh
+    from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    meshed = StableDiffusionControlLoRAPipeline(
+        pipe.unet, pipe.vae, pipe.text_encoder, pipe.tokenizer, pipe.frozen,
+        pipe.control_lora, pipe.control_params, mesh=mesh,
+    )
+    lats = jax.random.normal(jax.random.PRNGKey(21), (8, 8, 8, 4), jnp.float32)
+    sharded = meshed("x", guide=make_guide(), num_inference_steps=2, latents=lats,
+                     return_array=True)
+    single = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lats,
+                  return_array=True)
+    assert len(sharded) == 8
+    for a, b in zip(sharded, single):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    with pytest.raises(ValueError, match="multiple of the mesh size"):
+        meshed("x", guide=make_guide(), num_inference_steps=2, num_images=3)
 
 
 def test_num_images_fresh_latents(pipe):

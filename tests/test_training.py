@@ -10,7 +10,11 @@ from controllora_tpu.config import ControlLoRAConfig
 from controllora_tpu.data import Fill50kSynthetic
 from controllora_tpu.data.registry import DatasetBase, batch_iterator
 from controllora_tpu.models.control_lora import ControlLoRA
-from controllora_tpu.models.unet import UNet2DConditionModel, UNetConfig
+from controllora_tpu.models.unet import (
+    UNet2DConditionModel,
+    UNetConfig,
+    derive_cross_attention_dims,
+)
 from controllora_tpu.parallel import make_mesh, replicate, shard_batch
 from controllora_tpu.training.trainer import ControlLoRATrainer, TrainState, make_optimizer
 
@@ -21,12 +25,7 @@ TINY_CONTROL = ControlLoRAConfig(
     block_out_channels=(8, 16, 16, 32),
     lora_block_in_channels=(32, 32, 32, 32),
     lora_block_out_channels=(32, 64, 96, 96),
-    lora_cross_attention_dims=(
-        (None, 768, None, 768),
-        (None, 768, None, 768),
-        (None, 768, None, 768),
-        (None, 768),
-    ),
+    lora_cross_attention_dims=derive_cross_attention_dims(TINY_UNET),
 )
 
 
