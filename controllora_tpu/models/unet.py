@@ -208,10 +208,17 @@ class CrossAttention(nn.Module):
             k = dense(inner, self.dtype, "to_k", use_bias=False)(ctx_in)
             v = dense(inner, self.dtype, "to_v", use_bias=False)(ctx_in)
             L = hidden.shape[1]
-            if (ctx is None and L >= 2048
+            import os as _os
+
+            cross_flash = ctx is not None and bool(
+                _os.environ.get("CONTROLLORA_CROSS_FLASH"))
+            if (L >= 2048 and (ctx is None or cross_flash)
                     and jax.default_backend() in ("tpu", "axon")):
                 # first-party fused kernel: bias adds + flash in one pallas call;
-                # arbitrary L handled by pad + KV-mask (pallas_attention.py)
+                # arbitrary L handled by pad + KV-mask (pallas_attention.py).
+                # cross_flash (experiment knob): route the 77-token cross
+                # attention through the same kernel with one masked 128-column
+                # KV block instead of materializing the (bh, L, 77) fp32 scores
                 from controllora_tpu.ops.pallas_attention import biased_attention
 
                 attn = biased_attention(

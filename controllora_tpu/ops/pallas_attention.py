@@ -174,6 +174,15 @@ def biased_attention(
     d = inner // heads
     blk_q = serving_blocks(l, d, cap=block)
     blk_k = serving_blocks(lk, d, cap=block)
+    # A/B experiment knobs (scripts/bench_attn_probe.py; read at trace time)
+    import os
+
+    blk_q = int(os.environ.get("CONTROLLORA_SERVE_BQ", 0)) or blk_q
+    if lk >= 2048:
+        blk_k = int(os.environ.get("CONTROLLORA_SERVE_BK", 0)) or blk_k
+    elif lk <= 128:
+        # short-KV cross attention: one padded 128-column block, masked in-kernel
+        blk_k = 128
 
     def prep(x, bias, blk):
         if bias is not None:

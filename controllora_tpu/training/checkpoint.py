@@ -44,21 +44,51 @@ def checkpoint_step_dirs(output_dir: str):
     return sorted(out)
 
 
-def save_train_state(output_dir: str, step: int, state, keep: Optional[int] = None):
+_SHARED_CKPTR = None
+
+
+def _shared_checkpointer():
+    """One process-wide StandardCheckpointer (itself an orbax AsyncCheckpointer):
+    async saves queue on it and `finalize_checkpoints()` drains it."""
+    global _SHARED_CKPTR
+    if _SHARED_CKPTR is None:
+        _SHARED_CKPTR = ocp.StandardCheckpointer()
+    return _SHARED_CKPTR
+
+
+def save_train_state(output_dir: str, step: int, state,
+                     keep: Optional[int] = None, wait: bool = True):
     """Save under output_dir/checkpoint-<step>; optionally prune old checkpoints
-    (the reference's --checkpoints_total_limit, train:176-186)."""
+    (the reference's --checkpoints_total_limit, train:176-186).
+
+    `wait=False` = preemption-safe ASYNC save (beyond-reference, TPU-native:
+    orbax commits in a background thread via atomic rename while the train loop
+    keeps stepping; the reference's accelerate save_state blocks the loop).
+    Serialization of successive saves is guaranteed by the shared checkpointer
+    (a new save first drains the previous one); call `finalize_checkpoints()`
+    before process exit."""
     assert _HAS_ORBAX, "orbax not available"
     path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _shared_checkpointer()
     ckptr.save(os.path.join(path, "state"), state, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     if keep is not None:
-        dirs = checkpoint_step_dirs(output_dir)
+        # prune only COMMITTED checkpoints (atomic-rename guarantees state/ only
+        # appears complete); the in-flight newest is never in the prune window
+        dirs = [d for d in checkpoint_step_dirs(output_dir)
+                if os.path.isdir(os.path.join(d[1], "state"))]
         for _, p in dirs[:-keep]:
             import shutil
 
             shutil.rmtree(p, ignore_errors=True)
     return path
+
+
+def finalize_checkpoints():
+    """Drain any in-flight async checkpoint save (no-op when none)."""
+    if _SHARED_CKPTR is not None:
+        _SHARED_CKPTR.wait_until_finished()
 
 
 def restore_train_state(
@@ -68,7 +98,9 @@ def restore_train_state(
     nothing exists — the reference degrades to a fresh run the same way (train:723-727).
     `target` is an abstract/example TrainState pytree used for structure."""
     assert _HAS_ORBAX, "orbax not available"
-    dirs = checkpoint_step_dirs(output_dir)
+    # only committed checkpoints are restorable (async saves appear atomically)
+    dirs = [d for d in checkpoint_step_dirs(output_dir)
+            if os.path.isdir(os.path.join(d[1], "state"))]
     if not dirs:
         return None, 0
     if step == "latest":

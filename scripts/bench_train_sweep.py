@@ -51,16 +51,24 @@ def main(batch_size=8, steps=6):
         ("remat-dots_hint-bf16", dict(remat_unet=True, remat_policy="dots"), jnp.bfloat16, False),
         ("noremat_hint-bf16_cached-latents", dict(remat_unet=False), jnp.bfloat16, True),
         ("remat-dots_hint-bf16_cached-latents", dict(remat_unet=True, remat_policy="dots"), jnp.bfloat16, True),
+        # VERDICT r2 #8: the first-party block-wise int8 Adam on-chip
+        ("noremat_hint-bf16_adam8bit", dict(remat_unet=False, use_8bit=True),
+         jnp.bfloat16, False),
+        ("noremat_hint-bf16_cached-latents_adam8bit",
+         dict(remat_unet=False, use_8bit=True), jnp.bfloat16, True),
     ]
     only = os.environ.get("SWEEP_ONLY", "")
     for name, kw, hdt, use_latents in variants:
         if only and only not in name:
             continue
+        kw = dict(kw)
+        use_8bit = kw.pop("use_8bit", False)
         batch = latent_batch if use_latents else pixel_batch
         control = ControlLoRA(get_preset("base"), dtype=hdt)
         trainer = ControlLoRATrainer(
             control_lora=control, unet=unet, frozen=frozen, vae=vae,
-            text_encoder=text_encoder, optimizer=make_optimizer(), **kw)
+            text_encoder=text_encoder,
+            optimizer=make_optimizer(use_8bit=use_8bit), **kw)
         state = trainer.init_state(jax.random.PRNGKey(1), image_size=512)
         step_fn = trainer.make_train_step()
         try:

@@ -82,6 +82,9 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default="control-lora-model")
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--no_async_checkpointing", action="store_true",
+                   help="block the train loop during checkpoint saves (async "
+                        "orbax background commit is the default; beyond-reference)")
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--validation_steps", type=int, default=0,
                    help="sample a validation image every N steps (0 = off)")
@@ -122,6 +125,7 @@ def main(argv=None):
     from controllora_tpu.models import zoo
     from controllora_tpu.parallel import make_mesh, replicate, shard_batch
     from controllora_tpu.training.checkpoint import (
+        finalize_checkpoints,
         restore_train_state,
         save_control_lora,
         save_train_state,
@@ -372,7 +376,8 @@ def main(argv=None):
                 and (step + 1) % args.checkpointing_steps == 0):
             ckpt_path = save_train_state(args.output_dir, step + 1,
                                          jax.device_get(state),
-                                         keep=args.checkpoints_total_limit)
+                                         keep=args.checkpoints_total_limit,
+                                         wait=args.no_async_checkpointing)
             # each checkpoint also carries the reference-format adapter artifact so
             # eval can sample any mid-training step without reconstructing optimizer
             # state (the reference eval loads checkpoints and re-saves weights,
@@ -386,6 +391,7 @@ def main(argv=None):
                 and (step + 1) % args.validation_steps == 0):
             run_validation(step + 1, state.params)
 
+    finalize_checkpoints()  # drain any in-flight async checkpoint save
     # final artifact (reference train:922-929)
     if not is_main:
         logger.close()

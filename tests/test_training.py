@@ -164,6 +164,34 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async (non-blocking) orbax saves commit atomically: finalize + restore
+    yields the exact state, and pruning never eats the in-flight save."""
+    from controllora_tpu.training.checkpoint import (
+        finalize_checkpoints,
+        restore_train_state,
+        save_train_state,
+    )
+
+    trainer = make_tiny_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=64)
+    step = trainer.make_train_step()
+    out = str(tmp_path / "run")
+    for i in range(3):
+        state, _ = step(state, make_batch(2), jax.random.PRNGKey(i))
+        save_train_state(out, int(state.step), jax.device_get(state), keep=2,
+                         wait=False)
+    finalize_checkpoints()
+    restored, at = restore_train_state(out, state)
+    assert at == 3
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    import os
+
+    kept = sorted(d for d in os.listdir(out) if d.startswith("checkpoint-"))
+    assert "checkpoint-3" in kept and len(kept) <= 3
+
+
 def test_eval_step():
     trainer = make_tiny_trainer()
     state = trainer.init_state(jax.random.PRNGKey(0), image_size=64)
