@@ -30,6 +30,20 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def make_serving_mesh(
+    devices: Optional[Sequence[jax.Device]] = None, cfg: bool = True
+) -> Mesh:
+    """Serving mesh: ('data', 'cfg') with cfg=2 when the device count is even —
+    the 'cfg' axis halves batch-1 latency by splitting the guidance pair across
+    chips (pipelines/text_to_image.py), while 'data' scales throughput. Falls
+    back to pure data-parallel for odd device counts or cfg=False."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if cfg and n > 1 and n % 2 == 0:
+        return make_mesh((n // 2, 2), ("data", "cfg"), devices)
+    return make_mesh(devices=devices)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a host batch pytree with the leading dim sharded over the data axis."""
     def put(x):

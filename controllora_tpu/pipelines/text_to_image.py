@@ -55,6 +55,25 @@ def merge_extra_loras(
     return out
 
 
+def merge_extra_controls(
+    stacks: Dict[str, AdapterStack],
+    extra_stacks: Dict[str, AdapterStack],
+    where: str = "post",
+) -> Dict[str, AdapterStack]:
+    """Compose a SECOND ControlLoRA's adapters with already-installed stacks —
+    multi-condition control (e.g. canny + pose driving one render). Beyond-reference:
+    the reference's chain protocol (models.py:192-196) only ever carries plain LoRAs
+    as pre/post entries; here the extra control adapters (with their control states
+    attached) join the chain, and the chain math already handles control kinds
+    (lora.adapt_query include_control / adapt_hidden_pre_q iterate pre+post).
+
+    Chain-position semantics follow the reference quirks: pre/post value-LoRAs
+    apply unscaled (models.py:260, 265) and honor skip flags — an extra control is
+    a chained adapter, not a second `main`."""
+    extra = {n: s.main for n, s in extra_stacks.items() if s.main is not None}
+    return merge_extra_loras(stacks, extra, where)
+
+
 class StableDiffusionControlLoRAPipeline:
     def __init__(
         self,
@@ -68,12 +87,21 @@ class StableDiffusionControlLoRAPipeline:
         scheduler: Optional[DPMSolverMultistepScheduler] = None,
         mesh=None,
     ):
-        """`mesh`: optional `jax.sharding.Mesh` with a 'data' axis — multi-chip
-        data-parallel serving. The image batch (CFG pairs included) is sharded over
-        the axis and every device runs the complete sampler on its slice via
-        `shard_map`; serving dp needs zero collectives, so scaling is linear on ICI.
-        The reference serves single-GPU only (apps/gradio_canny2image.py); this is
-        the TPU-native extension for slice serving (e.g. v5e-8)."""
+        """`mesh`: optional `jax.sharding.Mesh` — multi-chip serving.
+
+        * axis 'data': the image batch shards over it; every device runs the
+          complete sampler on its slice via `shard_map` — zero collectives,
+          linear scaling on ICI (throughput axis).
+        * axis 'cfg' (size 2, optional): the classifier-free-guidance pair
+          splits over it — rank 0 evaluates the uncond UNet branch, rank 1 the
+          cond branch, and guidance combines via one `psum` of the (n, H/8,
+          W/8, 4) eps per step (eps_g = (1-g)·eps_u + g·eps_c, a few hundred
+          KB over ICI vs ~64 ms of UNet compute). This is the LATENCY axis: it
+          cuts batch-1 sampling onto 2 chips, and composes with 'data' for
+          2n-chip meshes (e.g. v5e-8 = data 4 × cfg 2).
+
+        The reference serves single-GPU only (apps/gradio_canny2image.py);
+        both axes are TPU-native extensions for slice serving."""
         self.unet = unet
         self.vae = vae
         self.text_encoder = text_encoder
@@ -83,6 +111,12 @@ class StableDiffusionControlLoRAPipeline:
         self.control_params = control_params
         self.scheduler = scheduler or DPMSolverMultistepScheduler()
         self.mesh = mesh
+        self._cfg_split = bool(mesh is not None and "cfg" in mesh.axis_names)
+        if self._cfg_split and mesh.shape["cfg"] != 2:
+            raise ValueError(
+                f"the 'cfg' mesh axis carries the [uncond ‖ cond] guidance pair "
+                f"and must have size 2, got {mesh.shape['cfg']}"
+            )
         self._sample_cache: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------ text
@@ -132,6 +166,8 @@ class StableDiffusionControlLoRAPipeline:
         else:
             raise TypeError(f"unsupported scheduler {type(sch).__name__}")
 
+        cfg_split = self._cfg_split
+
         def sample_fn(unet_params, vae_params, latents, ctx, adapters, guidance_scale,
                       lora_scale, fold):
             # frozen weights are jit ARGUMENTS — closure capture would embed them as
@@ -147,13 +183,34 @@ class StableDiffusionControlLoRAPipeline:
 
                 unet_params, adapters = fold_adapters(unet_params, adapters, lora_scale)
             n = latents.shape[0]
-            ctx_n = ctx if n == 1 else jnp.concatenate(
-                [jnp.repeat(ctx[:1], n, 0), jnp.repeat(ctx[1:], n, 0)], axis=0
-            )
+            if cfg_split:
+                # Each 'cfg' rank evaluates ONE guidance branch on the full local
+                # batch: rank 0 the uncond context, rank 1 the cond. Guidance is
+                # the linear combination (1-g)·eps_u + g·eps_c ≡ eps_u +
+                # g·(eps_c - eps_u), i.e. one psum over the axis per step.
+                # Batch-1 control states broadcast identically to both branches
+                # (_match_batch, models/lora.py:97) so the split is exact.
+                rank = jax.lax.axis_index("cfg")
+                ctx_i = jax.lax.dynamic_index_in_dim(ctx, rank, 0, keepdims=False)
+                ctx_n = jnp.broadcast_to(ctx_i[None], (n,) + ctx.shape[1:])
+                cfg_w = jnp.where(rank == 0, 1.0 - guidance_scale, guidance_scale)
+            else:
+                ctx_n = ctx if n == 1 else jnp.concatenate(
+                    [jnp.repeat(ctx[:1], n, 0), jnp.repeat(ctx[1:], n, 0)], axis=0
+                )
             state = init_state(latents)
 
             def body(state, i):
                 lat = get_sample(state)
+                if cfg_split:
+                    t = jnp.broadcast_to(ts[i], (n,))
+                    eps = self.unet.apply(
+                        {"params": unet_params}, lat, t, ctx_n, adapters, lora_scale
+                    )
+                    eps_g = jax.lax.psum(
+                        eps.astype(jnp.float32) * cfg_w.astype(jnp.float32), "cfg"
+                    )
+                    return step(state, eps_g, i), None
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 t = jnp.broadcast_to(ts[i], (lat2.shape[0],))
                 eps = self.unet.apply(
@@ -173,19 +230,23 @@ class StableDiffusionControlLoRAPipeline:
         if self.mesh is not None:
             from functools import partial
 
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             def sharded(unet_params, vae_params, latents, ctx, adapters,
                         guidance_scale, lora_scale, fold):
-                # Each device runs the FULL sampler on its batch slice; weights,
+                # Each device runs the sampler on its batch slice; weights,
                 # context pair, scales, and (batch-1) control states replicate.
+                # Specs never mention 'cfg': latents/scheduler state replicate
+                # over it and both ranks hold the identical post-psum eps_g, so
+                # decode is redundantly-replicated (free — it runs on otherwise
+                # idle chips) and out_specs takes either copy.
                 f = shard_map(
                     partial(sample_fn, fold=fold),
                     mesh=self.mesh,
                     in_specs=(P(), P(), P("data"), P(), P(), P(), P()),
                     out_specs=P("data"),
-                    check_rep=False,
+                    check_vma=False,
                 )
                 return f(unet_params, vae_params, latents, ctx, adapters,
                          guidance_scale, lora_scale)
@@ -213,10 +274,18 @@ class StableDiffusionControlLoRAPipeline:
         lora_scale: float = 1.0,
         extra_loras: Optional[Dict[str, AttnAdapter]] = None,
         extra_loras_where: str = "pre",
+        extra_controls=None,
+        extra_controls_where: str = "post",
         latents: Optional[jnp.ndarray] = None,
         return_array: bool = False,
     ):
-        """Returns a list of HWC uint8 images (or float arrays in [-1,1])."""
+        """Returns a list of HWC uint8 images (or float arrays in [-1,1]).
+
+        `extra_controls`: optional sequence of (control_lora, params, guide) triples —
+        additional ControlLoRAs composed into the same render (multi-condition
+        control, e.g. canny + pose). Each triple's guide is encoded by its own hint
+        encoder and its adapters join every attention layer's chain at
+        `extra_controls_where` ('pre'|'post'); see merge_extra_controls."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if guide is not None:
             guide = jnp.asarray(guide)[None] if guide.ndim == 3 else jnp.asarray(guide)
@@ -235,6 +304,14 @@ class StableDiffusionControlLoRAPipeline:
             )
         if extra_loras:
             adapters = merge_extra_loras(adapters or {}, extra_loras, extra_loras_where)
+        if extra_controls:
+            for cl2, params2, guide2 in extra_controls:
+                g2 = jnp.asarray(guide2)
+                g2 = g2[None] if g2.ndim == 3 else g2
+                adapters = merge_extra_controls(
+                    adapters or {}, cl2(params2, g2, self.unet.config),
+                    extra_controls_where,
+                )
 
         sampler = self._build_sampler(num_inference_steps, (lh, lw), adapters is not None)
         foldable = bool(adapters) and all(
@@ -260,7 +337,7 @@ class StableDiffusionControlLoRAPipeline:
             lat0 = jax.random.normal(k, (n, lh, lw, self.unet.config.in_channels),
                                      jnp.float32)
         if self.mesh is not None:
-            n_dev = self.mesh.devices.size
+            n_dev = dict(self.mesh.shape).get("data", 1)
             if n % n_dev:
                 raise ValueError(
                     f"data-parallel serving shards the image batch over {n_dev} "

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import sys
 import time
 
@@ -344,6 +345,42 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"ControlLoRA params: {n_params/1e6:.2f}M | global batch {global_batch} | lr {lr}")
 
+    last_saved = {"step": start_step if args.resume_from_checkpoint else -1}
+
+    def save_checkpoint(at_step):
+        last_saved["step"] = at_step
+        ckpt_path = save_train_state(args.output_dir, at_step,
+                                     jax.device_get(state),
+                                     keep=args.checkpoints_total_limit,
+                                     wait=args.no_async_checkpointing)
+        # each checkpoint also carries the reference-format adapter artifact so
+        # eval can sample any mid-training step without reconstructing optimizer
+        # state (the reference eval loads checkpoints and re-saves weights,
+        # test_text_to_image_control_lora.py:706-731)
+        save_control_lora(os.path.join(ckpt_path, "control_lora"),
+                          jax.device_get(state).params, ccfg,
+                          formats=("safetensors",))
+        print(f"saved checkpoint-{at_step}", flush=True)
+
+    # Preemption-safe shutdown (beyond-reference; SURVEY §5: the reference has no
+    # failure handling beyond resume-latest). SIGTERM/SIGINT — what a TPU-VM
+    # maintenance event or batch scheduler delivers — requests a graceful stop:
+    # the loop finishes the in-flight step, saves a resumable checkpoint-<step>,
+    # and exits 0 so a supervisor relaunch with `--resume_from_checkpoint latest`
+    # continues the run exactly (data-stream fast-forward included). A second
+    # signal aborts immediately.
+    stop = {"sig": None}
+
+    def _request_stop(signum, frame):
+        if stop["sig"] is not None:
+            raise KeyboardInterrupt(f"second signal {signum}; aborting")
+        stop["sig"] = signum
+        print(f"received {signal.Signals(signum).name}; checkpointing and exiting "
+              "after the current step", flush=True)
+
+    prev_handlers = {s: signal.signal(s, _request_stop)
+                     for s in (signal.SIGTERM, signal.SIGINT)}
+
     t_last = time.time()
     for step in range(start_step, args.max_train_steps):
         if args.profile and step == start_step + 3:
@@ -374,23 +411,25 @@ def main(argv=None):
 
         if (is_main and args.checkpointing_steps
                 and (step + 1) % args.checkpointing_steps == 0):
-            ckpt_path = save_train_state(args.output_dir, step + 1,
-                                         jax.device_get(state),
-                                         keep=args.checkpoints_total_limit,
-                                         wait=args.no_async_checkpointing)
-            # each checkpoint also carries the reference-format adapter artifact so
-            # eval can sample any mid-training step without reconstructing optimizer
-            # state (the reference eval loads checkpoints and re-saves weights,
-            # test_text_to_image_control_lora.py:706-731)
-            save_control_lora(os.path.join(ckpt_path, "control_lora"),
-                              jax.device_get(state).params, ccfg,
-                              formats=("safetensors",))
-            print(f"saved checkpoint-{step+1}")
+            save_checkpoint(step + 1)
 
         if (is_main and val_pipe is not None
                 and (step + 1) % args.validation_steps == 0):
             run_validation(step + 1, state.params)
 
+        if stop["sig"] is not None:
+            if is_main and last_saved["step"] != step + 1:
+                save_checkpoint(step + 1)
+            finalize_checkpoints()
+            logger.close()
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
+            print(f"preempted at step {step + 1}; relaunch with "
+                  "--resume_from_checkpoint latest to continue", flush=True)
+            return
+
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     finalize_checkpoints()  # drain any in-flight async checkpoint save
     # final artifact (reference train:922-929)
     if not is_main:

@@ -62,6 +62,64 @@ def test_native_batcher_fast_forward():
             np.testing.assert_array_equal(w[k], g[k])
 
 
+def test_sigterm_graceful_checkpoint(tmp_path):
+    """A real SIGTERM mid-run (what a TPU-VM maintenance event or batch scheduler
+    delivers) must finish the in-flight step, commit a resumable checkpoint, and
+    exit 0 — then `--resume_from_checkpoint latest` continues the run. The
+    reference has no failure handling beyond resume-latest (SURVEY §5); this is
+    the beyond-reference preemption-safe path in scripts/train.py."""
+    import re
+    import signal
+    import subprocess
+    import time
+
+    out = str(tmp_path / "preempted")
+    log_path = str(tmp_path / "log.txt")
+    argv = [
+        "--model_variant", "smoke", "--dataset_name", "process/fill50k",
+        "--resolution", "64", "--train_batch_size", "1",
+        "--output_dir", out, "--checkpointing_steps", "0",
+        "--log_every", "1", "--seed", "11",
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(SCRIPTS)
+    env["JAX_PLATFORMS"] = "cpu"
+    with open(log_path, "w") as logf:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(SCRIPTS, "train.py"),
+             "--max_train_steps", "100000"] + argv,
+            env=env, stdout=logf, stderr=subprocess.STDOUT,
+        )
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if proc.poll() is not None or "step 1:" in open(log_path).read():
+                break
+            time.sleep(0.5)
+        assert proc.poll() is None, open(log_path).read()
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    txt = open(log_path).read()
+    assert rc == 0, txt
+    m = re.search(r"preempted at step (\d+)", txt)
+    assert m, txt
+    at = int(m.group(1))
+    # committed (async save drained before exit) and carries the sampleable artifact
+    assert os.path.isdir(os.path.join(out, f"checkpoint-{at}", "state")), txt
+    assert os.path.exists(os.path.join(
+        out, f"checkpoint-{at}", "control_lora", "config.json"))
+
+    # supervisor relaunch: resume-latest picks the run up and finishes it
+    import train as train_cli
+
+    train_cli.main(argv + ["--max_train_steps", str(at + 1),
+                           "--resume_from_checkpoint", "latest"])
+    assert os.path.exists(os.path.join(out, "diffusion_pytorch_model.safetensors"))
+
+
 def test_train_kill_resume_and_sample(tmp_path):
     from controllora_tpu.training.checkpoint import load_control_lora
 

@@ -104,6 +104,38 @@ def test_mix_lora_composition(pipe):
     assert np.abs(diff - base).max() > 1e-5
 
 
+def test_multi_control_composition(pipe):
+    """Two ControlLoRAs driving one render (multi-condition control, e.g.
+    canny + pose). A FRESH second control is an exact no-op by construction
+    (every lora `up` factor is zero, so its q/k/v/out and to_control residuals
+    vanish) — composed output must match the single-control render; activating
+    its up factors must change the output."""
+    lat = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
+    base = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lat,
+                return_array=True)[0]
+
+    cl2 = ControlLoRA(TINY_CONTROL)
+    p2 = cl2.init(jax.random.PRNGKey(33), image_size=64)
+    guide2 = -make_guide()  # a different condition image
+
+    same = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lat,
+                extra_controls=[(cl2, p2, guide2)], return_array=True)[0]
+    # base runs the folded fast path, composed the chained path — fp drift only
+    np.testing.assert_allclose(base, same, atol=2e-3)
+
+    # activate the second control's up factors: the extra condition now steers
+    p2_active = jax.tree.map(lambda x: x + 0.02, p2)
+    diff = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lat,
+                extra_controls=[(cl2, p2_active, guide2)], return_array=True)[0]
+    assert np.abs(diff - base).max() > 1e-5
+
+    # and the composed render depends on the SECOND guide too
+    diff2 = pipe("x", guide=make_guide(), num_inference_steps=2, latents=lat,
+                 extra_controls=[(cl2, p2_active, make_guide())],
+                 return_array=True)[0]
+    assert np.abs(diff2 - diff).max() > 1e-5
+
+
 def test_alternative_schedulers(pipe):
     """DDIM and PNDM samplers plug into the same jitted pipeline."""
     from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
@@ -171,6 +203,72 @@ def test_mesh_serving_matches_single_device(pipe):
 
     with pytest.raises(ValueError, match="multiple of the mesh size"):
         meshed("x", guide=make_guide(), num_inference_steps=2, num_images=3)
+
+
+def test_cfg_mesh_serving_matches_single_device(pipe):
+    """CFG-axis serving: splitting the [uncond ‖ cond] pair over a size-2 'cfg'
+    axis (each rank evaluates one guidance branch, combined by a per-step psum)
+    must reproduce the single-device render — guidance is a linear combination,
+    so the split is exact up to fp reassociation. Composed with 'data' here:
+    4 images × 2 cfg ranks = the full 8-device mesh."""
+    from controllora_tpu.parallel import make_serving_mesh
+    from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
+
+    mesh = make_serving_mesh()
+    assert dict(mesh.shape) == {"data": 4, "cfg": 2}
+    meshed = StableDiffusionControlLoRAPipeline(
+        pipe.unet, pipe.vae, pipe.text_encoder, pipe.tokenizer, pipe.frozen,
+        pipe.control_lora, pipe.control_params, mesh=mesh,
+    )
+    lats = jax.random.normal(jax.random.PRNGKey(23), (4, 8, 8, 4), jnp.float32)
+    sharded = meshed("x", guide=make_guide(), num_inference_steps=2,
+                     guidance_scale=7.0, latents=lats, return_array=True)
+    single = pipe("x", guide=make_guide(), num_inference_steps=2,
+                  guidance_scale=7.0, latents=lats, return_array=True)
+    assert len(sharded) == 4
+    for a, b in zip(sharded, single):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_cfg_mesh_batch1_latency_config(pipe):
+    """The latency configuration: ONE image over a ('data' 1 × 'cfg' 2) mesh —
+    the case plain dp serving cannot shard at all."""
+    import jax as _jax
+
+    from controllora_tpu.parallel import make_serving_mesh
+    from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
+
+    mesh = make_serving_mesh(devices=_jax.devices()[:2])
+    assert dict(mesh.shape) == {"data": 1, "cfg": 2}
+    meshed = StableDiffusionControlLoRAPipeline(
+        pipe.unet, pipe.vae, pipe.text_encoder, pipe.tokenizer, pipe.frozen,
+        pipe.control_lora, pipe.control_params, mesh=mesh,
+    )
+    lat = jax.random.normal(jax.random.PRNGKey(29), (1, 8, 8, 4), jnp.float32)
+    a = meshed("x", guide=make_guide(), num_inference_steps=3, latents=lat,
+               return_array=True)[0]
+    b = pipe("x", guide=make_guide(), num_inference_steps=3, latents=lat,
+             return_array=True)[0]
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+    # unguided path shards the same way
+    ua = meshed("plain", num_inference_steps=2, height=64, width=64,
+                rng=jax.random.PRNGKey(31), return_array=True)[0]
+    ub = pipe("plain", num_inference_steps=2, height=64, width=64,
+              rng=jax.random.PRNGKey(31), return_array=True)[0]
+    np.testing.assert_allclose(ua, ub, atol=1e-4)
+
+
+def test_cfg_mesh_axis_size_validation(pipe):
+    from controllora_tpu.parallel import make_mesh
+    from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
+
+    bad = make_mesh((2, 4), ("data", "cfg"))
+    with pytest.raises(ValueError, match="size 2"):
+        StableDiffusionControlLoRAPipeline(
+            pipe.unet, pipe.vae, pipe.text_encoder, pipe.tokenizer, pipe.frozen,
+            pipe.control_lora, pipe.control_params, mesh=bad,
+        )
 
 
 def test_num_images_fresh_latents(pipe):

@@ -29,7 +29,7 @@ TINY_CONTROL = ControlLoRAConfig(
 )
 
 
-def make_tiny_trainer(mesh=None, lr=1e-3):
+def make_tiny_trainer(mesh=None, lr=1e-3, optimizer=None):
     unet = UNet2DConditionModel(TINY_UNET)
     unet_params = unet.init(
         jax.random.PRNGKey(0),
@@ -42,7 +42,7 @@ def make_tiny_trainer(mesh=None, lr=1e-3):
         control_lora=cl,
         unet=unet,
         frozen={"unet": unet_params},
-        optimizer=make_optimizer(learning_rate=lr),
+        optimizer=optimizer or make_optimizer(learning_rate=lr),
         mesh=mesh,
         remat_unet=False,
     )
@@ -190,6 +190,61 @@ def test_async_checkpoint_roundtrip(tmp_path):
 
     kept = sorted(d for d in os.listdir(out) if d.startswith("checkpoint-"))
     assert "checkpoint-3" in kept and len(kept) <= 3
+
+
+def test_mesh_resize_resume(tmp_path):
+    """Elastic restart: a checkpoint saved from an 8-device data-parallel run must
+    restore onto a DIFFERENT topology (4-device mesh, single device) and continue
+    bit-identically on the same global batch — dp keeps params replicated, so the
+    orbax state is topology-free, and the data stream keys off global step +
+    global batch, never the device count. Beyond-reference: torch DDP resume
+    assumes an unchanged world size for step↔data reproducibility.
+
+    SGD, not Adam: the comparand is params after a continued step, and Adam
+    normalizes the update to ±lr — a near-zero gradient element whose SIGN flips
+    under the topology-dependent psum reassociation flips its whole update
+    (same reasoning as __graft_entry__'s grad-level dp check). SGD is linear in
+    the gradient, so cross-topology drift stays at fp-reassociation scale."""
+    import optax
+
+    from controllora_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    sgd = lambda: optax.sgd(1e-3)
+    mesh8 = make_mesh()
+    t8 = make_tiny_trainer(mesh=mesh8, optimizer=sgd())
+    state = replicate(t8.init_state(jax.random.PRNGKey(0), image_size=64), mesh8)
+    t8.frozen = replicate(t8.frozen, mesh8)
+    step8 = t8.make_train_step()
+    state, _ = step8(state, shard_batch(make_batch(8), mesh8),
+                     replicate(jax.random.PRNGKey(1), mesh8))
+    out = str(tmp_path / "run")
+    save_train_state(out, int(state.step), jax.device_get(state))
+
+    # ground truth: one more step on the original 8-device topology
+    state, _ = step8(state, shard_batch(make_batch(8, key=9), mesh8),
+                     replicate(jax.random.PRNGKey(2), mesh8))
+    truth = jax.tree.leaves(jax.device_get(state).params)
+
+    def continue_on(mesh):
+        t = make_tiny_trainer(mesh=mesh, optimizer=sgd())
+        target = jax.device_get(t.init_state(jax.random.PRNGKey(0), image_size=64))
+        restored, at = restore_train_state(out, target)
+        assert at == 1
+        b, rng = make_batch(8, key=9), jax.random.PRNGKey(2)
+        if mesh is not None:
+            restored = replicate(restored, mesh)
+            t.frozen = replicate(t.frozen, mesh)
+            b, rng = shard_batch(b, mesh), replicate(rng, mesh)
+        s, _ = t.make_train_step()(restored, b, rng)
+        return jax.tree.leaves(jax.device_get(s).params)
+
+    for resized in (continue_on(make_mesh(devices=jax.devices()[:4])),
+                    continue_on(None)):
+        for a, b in zip(truth, resized):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_eval_step():
