@@ -30,7 +30,9 @@ from controllora_tpu.models.vae import AutoencoderKL
 from controllora_tpu.schedulers import (
     DDIMScheduler,
     DPMSolverMultistepScheduler,
+    EulerDiscreteScheduler,
     PNDMScheduler,
+    UniPCMultistepScheduler,
 )
 
 
@@ -140,7 +142,10 @@ class StableDiffusionControlLoRAPipeline:
 
         sch = self.scheduler
 
-        # per-scheduler (state, step) protocol over a shared CFG-UNet eval
+        # per-scheduler (state, step) protocol over a shared CFG-UNet eval.
+        # `model_input(state, i)` is what the UNet sees at step i — identity for the
+        # variance-preserving samplers, the 1/sqrt(sigma^2+1) rescale for Euler.
+        model_input = None
         if isinstance(sch, DPMSolverMultistepScheduler):
             tables = sch.tables(num_inference_steps)
             ts = tables[0]
@@ -163,8 +168,22 @@ class StableDiffusionControlLoRAPipeline:
                 init_state = sch.init_state
                 get_sample = lambda s: s.sample
                 step = lambda s, eps, i: sch.step(s, eps, ts[i], ts_prev[i])
+        elif isinstance(sch, EulerDiscreteScheduler):
+            ts, sigmas = sch.tables(num_inference_steps)
+            init_state = lambda x: sch.init_state(x, sigmas)
+            get_sample = lambda s: s
+            model_input = lambda s, i: sch.model_input(s, sigmas[i])
+            step = lambda s, eps, i: sch.step(s, eps, i, sigmas)
+        elif isinstance(sch, UniPCMultistepScheduler):
+            tables = sch.tables(num_inference_steps)
+            ts = tables[0]
+            init_state = sch.init_state
+            get_sample = lambda s: s.sample
+            step = lambda s, eps, i: sch.step(s, eps, i, num_inference_steps, tables)
         else:
             raise TypeError(f"unsupported scheduler {type(sch).__name__}")
+        if model_input is None:
+            model_input = lambda s, i: get_sample(s)
 
         cfg_split = self._cfg_split
 
@@ -201,7 +220,7 @@ class StableDiffusionControlLoRAPipeline:
             state = init_state(latents)
 
             def body(state, i):
-                lat = get_sample(state)
+                lat = model_input(state, i)
                 if cfg_split:
                     t = jnp.broadcast_to(ts[i], (n,))
                     eps = self.unet.apply(

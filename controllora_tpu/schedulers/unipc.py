@@ -1,0 +1,154 @@
+"""UniPC multistep sampler (Zhao et al. 2023), order 2, bh2, data prediction.
+
+Beyond-reference (the reference only uses diffusers DDPM/DPMSolver++,
+train_text_to_image_control_lora.py:399, :824); UniPC is the other widely-used
+fast SD sampler, offered here with diffusers-`UniPCMultistepScheduler`-compatible
+conventions: linspace timestep grid, predict_x0, solver_type "bh2", order 2,
+lower_order_final.
+
+Structure: UniPC = the DPM-Solver++-style predictor (UniP; at order 2 with bh2 its
+extrapolation coefficient is exactly the 2M midpoint 0.5) plus a CORRECTOR (UniC)
+that re-solves the previous transition using the model output just evaluated at the
+new point — one extra fused multiply-add per step, no extra UNet evals.
+
+TPU-native shape: every h-dependent coefficient (expm1 terms, the 2x2
+order-condition solve for the corrector weights) is precomputed host-side in
+float64 into per-step tables, because the inference grid is static; the jitted
+per-step update is a handful of FMAs over `lax.scan`. The order-condition solve is
+validated against exact quadrature in tests/test_scheduler_golden.py (polynomial
+exactness), not against recorded fixtures.
+
+Derivation sketch (data prediction): with lambda = log(alpha/sigma) the exact
+transition is x_t = (sigma_t/sigma_s) x_s + sigma_t * integral_{lambda_s}^{lambda_t}
+e^lambda x0_hat(lambda) dlambda. Approximating x0_hat by the interpolating
+polynomial through {(lambda_{s_k}, m_k)} and matching Taylor orders with
+B(h) = expm1(-h) (bh2) yields update
+    x_t = (sigma_t/sigma_s) x_s - alpha_t*E*m0 - alpha_t*E * sum_k rho_k D_k,
+E = expm1(-h); predictor order 2: rho = [1/2] with D = (m1-m0)/r1,
+r1 = (lambda_{s1}-lambda_{s0})/h; corrector order 2: rho solves
+[[1,1],[r1,1]] rho = [b1,b2] with b1 = (E/(-h)-1)/E,
+b2 = 2*((E/(-h)-1)/(-h) - 1/2)/E, over D = [(m1-m0)/r1, m_t-m0].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from controllora_tpu.schedulers.common import DiffusionSchedule, linspace_timesteps
+
+
+@struct.dataclass
+class UniPCState:
+    sample: jnp.ndarray        # predicted x at the current grid point
+    last_sample: jnp.ndarray   # x at the previous grid point (corrector input)
+    m0: jnp.ndarray            # x0_hat at the previous grid point
+    m1: jnp.ndarray            # x0_hat two grid points back
+
+
+class UniPCMultistepScheduler:
+    def __init__(
+        self,
+        schedule: DiffusionSchedule | None = None,
+        solver_order: int = 2,
+        lower_order_final: bool = True,
+    ):
+        self.schedule = schedule or DiffusionSchedule.create()
+        assert solver_order in (1, 2)
+        self.solver_order = solver_order
+        self.lower_order_final = lower_order_final
+
+    def timesteps(self, num_inference_steps: int) -> np.ndarray:
+        return linspace_timesteps(self.schedule.num_train_timesteps, num_inference_steps)
+
+    def tables(self, num_inference_steps: int):
+        """Precompute every per-step coefficient in float64 host-side.
+
+        Transition i: grid point i -> i+1 (final target t=0, as dpmsolver.py).
+        Returns (ts, ratio, A, r1, rc1, rc2) each length n (+ conventions below):
+          ratio[i] = sigma_{i+1}/sigma_i
+          A[i]     = alpha_{i+1} * expm1(-h_i)
+          r1[i]    = (lambda_{i-1} - lambda_i)/h_i   (negative; r1[0] unused)
+          rc1/rc2[i] = corrector weights for transition i (rc1 pairs with
+                       (m1-m0)/r1, rc2 with (m_t-m0)); at i=0 the corrector is
+                       order-1: rc1=0, rc2=1/2.
+        """
+        acp = np.asarray(self.schedule.alphas_cumprod, np.float64)
+        ts = self.timesteps(num_inference_steps)
+        ts_ext = np.concatenate([ts, [0]])
+        alpha = np.sqrt(acp[ts_ext])
+        sigma = np.sqrt(1.0 - acp[ts_ext])
+        lam = np.log(alpha) - np.log(sigma)
+
+        n = num_inference_steps
+        ratio = sigma[1:] / sigma[:-1]
+        h = lam[1:] - lam[:-1]                     # > 0
+        E = np.expm1(-h)
+        A = alpha[1:] * E
+        r1 = np.zeros(n)
+        r1[1:] = (lam[:-2] - lam[1:-1]) / h[1:]    # (lambda_{i-1}-lambda_i)/h_i
+
+        # corrector order-condition weights (2x2 solve; order-1 closed form at i=0)
+        b1 = (E / (-h) - 1.0) / E
+        b2 = 2.0 * ((E / (-h) - 1.0) / (-h) - 0.5) / E
+        rc1 = np.zeros(n)
+        rc2 = np.full(n, 0.5)
+        if self.solver_order == 2 and n > 1:
+            det = 1.0 - r1[1:]
+            rc1[1:] = (b1[1:] - b2[1:]) / det
+            rc2[1:] = b1[1:] - rc1[1:]
+        return tuple(
+            jnp.asarray(x, dt)
+            for x, dt in (
+                (ts, jnp.int32), (ratio, jnp.float32), (A, jnp.float32),
+                (r1, jnp.float32), (rc1, jnp.float32), (rc2, jnp.float32),
+            )
+        )
+
+    def init_state(self, sample: jnp.ndarray) -> UniPCState:
+        z = jnp.zeros_like(sample)
+        return UniPCState(sample=sample, last_sample=sample, m0=z, m1=z)
+
+    def step(
+        self,
+        state: UniPCState,
+        model_output: jnp.ndarray,
+        step_index: jnp.ndarray,
+        num_inference_steps: int,
+        tables=None,
+    ) -> UniPCState:
+        """One UniC (correct the arrival at the current point) + UniP (predict the
+        next point) update. ``model_output`` is the raw UNet output evaluated on
+        ``state.sample`` at grid point ``step_index``."""
+        ts, ratio, A, r1, rc1, rc2 = (
+            tables if tables is not None else self.tables(num_inference_steps)
+        )
+        i = step_index
+        m_t = self.schedule.pred_original_sample(state.sample, model_output, ts[i])
+
+        # ---- corrector: redo transition j = i-1 -> i with m_t in the data set
+        j = jnp.maximum(i - 1, 0)
+        r1j = r1[j]
+        d1c = (state.m1 - state.m0) / jnp.where(r1j == 0, 1.0, r1j)
+        corr = (
+            ratio[j] * state.last_sample
+            - A[j] * state.m0
+            - A[j] * (rc1[j] * d1c + rc2[j] * (m_t - state.m0))
+        )
+        x_c = jnp.where(i == 0, state.sample, corr)
+
+        # ---- predictor: transition i -> i+1 (2M-midpoint form; order drops to 1
+        # on the first step and, under lower_order_final, on the last step)
+        d1p = (state.m0 - m_t) / jnp.where(r1[i] == 0, 1.0, r1[i])
+        first = ratio[i] * x_c - A[i] * m_t
+        second = first - A[i] * 0.5 * d1p
+        use_first = i == 0
+        if self.solver_order == 1:
+            use_first = jnp.full_like(use_first, True)
+        elif self.lower_order_final:
+            # unlike DPM-Solver++ (dpmsolver.py, which follows diffusers' <15-step
+            # gate), diffusers UniPC reduces the final predictor order unconditionally
+            use_first = jnp.logical_or(use_first, i == num_inference_steps - 1)
+        x_next = jnp.where(use_first, first, second)
+        return UniPCState(sample=x_next, last_sample=x_c, m0=m_t, m1=state.m0)

@@ -39,7 +39,7 @@ def parse_args(argv=None):
     p.add_argument("--num_validation_images", type=int, default=4)
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--scheduler", type=str, default="dpm++",
-                   choices=["dpm++", "ddim", "pndm"])
+                   choices=["dpm++", "ddim", "pndm", "euler", "unipc"])
     p.add_argument("--guidance_scale", type=float, default=9.0)
     p.add_argument("--output_dir", type=str, default="samples/run")
     p.add_argument("--seed", type=int, default=42)
@@ -122,11 +122,13 @@ def main(argv=None):
         raise SystemExit("need --control_lora_dir and/or --lora_weights")
 
     from controllora_tpu.schedulers import (
-        DDIMScheduler, DPMSolverMultistepScheduler, PNDMScheduler,
+        DDIMScheduler, DPMSolverMultistepScheduler, EulerDiscreteScheduler,
+        PNDMScheduler, UniPCMultistepScheduler,
     )
 
     scheduler = {"dpm++": DPMSolverMultistepScheduler, "ddim": DDIMScheduler,
-                 "pndm": PNDMScheduler}[args.scheduler]()
+                 "pndm": PNDMScheduler, "euler": EulerDiscreteScheduler,
+                 "unipc": UniPCMultistepScheduler}[args.scheduler]()
     pipe = StableDiffusionControlLoRAPipeline(
         unet, vae, text_encoder, tokenizer, frozen, control_lora, control_params,
         scheduler=scheduler,

@@ -141,8 +141,14 @@ def test_alternative_schedulers(pipe):
     from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
     from controllora_tpu.schedulers import DDIMScheduler, PNDMScheduler
 
+    from controllora_tpu.schedulers import (
+        EulerDiscreteScheduler,
+        UniPCMultistepScheduler,
+    )
+
     lat = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
-    for sch in (DDIMScheduler(), PNDMScheduler()):
+    for sch in (DDIMScheduler(), PNDMScheduler(), EulerDiscreteScheduler(),
+                UniPCMultistepScheduler()):
         p2 = StableDiffusionControlLoRAPipeline(
             pipe.unet, pipe.vae, pipe.text_encoder, pipe.tokenizer, pipe.frozen,
             pipe.control_lora, pipe.control_params, scheduler=sch,
@@ -151,6 +157,34 @@ def test_alternative_schedulers(pipe):
                  return_array=True)[0]
         assert img.shape == (64, 64, 3)
         assert np.isfinite(img).all()
+
+
+def test_deterministic_samplers_converge_to_same_ode_solution(pipe):
+    """DPM-Solver++, UniPC, and Euler all integrate the SAME probability-flow ODE;
+    at 40 steps on the tiny model their renders must agree closely. This is the
+    in-container substitute for diffusers fixture comparison: a semantics bug in
+    any one sampler (wrong frame, wrong grid, wrong corrector sign) diverges its
+    trajectory and fails the cross-check."""
+    from controllora_tpu.schedulers import (
+        DPMSolverMultistepScheduler,
+        EulerDiscreteScheduler,
+        UniPCMultistepScheduler,
+    )
+
+    lat = jax.random.normal(jax.random.PRNGKey(17), (1, 8, 8, 4))
+    outs = {}
+    for name, sch in (("dpm", DPMSolverMultistepScheduler()),
+                      ("euler", EulerDiscreteScheduler()),
+                      ("unipc", UniPCMultistepScheduler())):
+        p2 = StableDiffusionControlLoRAPipeline(
+            pipe.unet, pipe.vae, pipe.text_encoder, pipe.tokenizer, pipe.frozen,
+            pipe.control_lora, pipe.control_params, scheduler=sch,
+        )
+        outs[name] = p2("x", guide=make_guide(), num_inference_steps=40,
+                        guidance_scale=4.0, latents=lat, return_array=True)[0]
+    # images live in [-1, 1]; 40-step discretization differences are small
+    np.testing.assert_allclose(outs["unipc"], outs["dpm"], atol=0.08)
+    np.testing.assert_allclose(outs["euler"], outs["dpm"], atol=0.15)
 
 
 def test_merge_extra_loras_structure():
