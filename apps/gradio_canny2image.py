@@ -88,6 +88,8 @@ def main():
     p.add_argument("--prompt", type=str, default=None)
     p.add_argument("--output_dir", type=str, default="samples/canny2image")
     p.add_argument("--share", action="store_true")
+    p.add_argument("--port", type=int, default=7860,
+                   help="port for the web UI (gradio or the stdlib fallback)")
     for k, v in DEFAULTS.items():
         p.add_argument(f"--{k}", type=type(v), default=v)
     args = p.parse_args()
@@ -100,8 +102,14 @@ def main():
         have_gradio = args.input is None
     except ImportError:
         have_gradio = False
-        if args.input is None:
-            raise SystemExit("gradio not installed — run CLI mode: --input --prompt")
+
+    if not have_gradio and args.input is None:
+        # no gradio, no CLI input: stdlib web UI over the SAME process() callback
+        from apps._webui import serve_app
+
+        serve_app("Control Stable Diffusion with Canny Edge Maps (TPU)",
+                  process, DEFAULTS, port=args.port)
+        return
 
     if have_gradio:
         with gr.Blocks() as demo:
