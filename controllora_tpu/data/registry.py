@@ -72,11 +72,45 @@ def batch_iterator(
     reference train_text_to_image_control_lora.py:745-749). Because the order is a
     pure function of `seed`, skipping advances indices only — no dataset access, so
     fast-forward is O(start_step) permutation draws rather than O(start_step·batch)
-    sample loads."""
+    sample loads.
+
+    Datasets smaller than one (global) batch — e.g. a 3-image DreamBooth
+    instance set over an 8-device mesh — cycle: successive permutations
+    concatenate until a batch fills, so every batch is full and the stream
+    never starves (reference repeats tiny instance sets the same way via
+    epoch-looped 1-per-device batches, train_dreambooth_lora.py:825-833)."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
+    if n == 0:
+        raise ValueError("batch_iterator: empty dataset")
+
+    def stack(idx):
+        items = [dataset[int(i)] for i in idx]
+        return {
+            k: np.stack([it[k] for it in items]).astype(items[0][k].dtype)
+            for k in items[0]
+        }
+
     epoch = 0
     skip = start_step
+    if batch_size > n:
+        buf = np.empty((0,), np.int64)
+        while epochs is None or epoch < epochs:
+            while len(buf) < batch_size and (epochs is None or epoch < epochs):
+                order = rng.permutation(n) if shuffle else np.arange(n)
+                buf = np.concatenate([buf, order])
+                epoch += 1
+            if len(buf) < batch_size:
+                break
+            idx, buf = buf[:batch_size], buf[batch_size:]
+            if skip > 0:
+                skip -= 1
+                continue
+            yield stack(idx)
+        if len(buf) and not drop_last and skip <= 0:
+            yield stack(buf)
+        return
+
     while epochs is None or epoch < epochs:
         order = rng.permutation(n) if shuffle else np.arange(n)
         for s in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
@@ -84,9 +118,5 @@ def batch_iterator(
                 skip -= 1
                 continue
             idx = order[s : s + batch_size]
-            items = [dataset[int(i)] for i in idx]
-            yield {
-                k: np.stack([it[k] for it in items]).astype(items[0][k].dtype)
-                for k in items[0]
-            }
+            yield stack(idx)
         epoch += 1

@@ -42,6 +42,57 @@ class TrainState:
     opt_state: Any
 
 
+def make_lr_schedule(
+    learning_rate: float,
+    lr_schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: int = 30_000,
+    num_cycles: int = 1,
+    power: float = 1.0,
+):
+    """The diffusers get_scheduler surface the reference exposes via
+    --lr_scheduler (train:243-249, train_dreambooth_lora.py:291-308):
+    constant[_with_warmup] / linear / cosine / cosine_with_restarts
+    (`num_cycles` hard restarts, each decaying to 0) / polynomial (`power`,
+    1e-7 floor). Returns an optax schedule (or a float for plain constant)."""
+    decay_steps = max(total_steps - warmup_steps, 1)
+
+    def _with_warmup(body):
+        if not warmup_steps:
+            return body
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps), body],
+            [warmup_steps],
+        )
+
+    if lr_schedule in ("constant", "constant_with_warmup"):
+        sched = (_with_warmup(optax.constant_schedule(learning_rate))
+                 if warmup_steps else learning_rate)
+    elif lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, total_steps
+        )
+    elif lr_schedule == "cosine_with_restarts":
+        seg = max(decay_steps // max(num_cycles, 1), 1)
+        sched = _with_warmup(optax.join_schedules(
+            [optax.cosine_decay_schedule(learning_rate, seg)
+             for _ in range(max(num_cycles, 1))],
+            [seg * (i + 1) for i in range(max(num_cycles, 1) - 1)],
+        ))
+    elif lr_schedule == "polynomial":
+        sched = _with_warmup(optax.polynomial_schedule(
+            init_value=learning_rate, end_value=1e-7, power=power,
+            transition_steps=decay_steps,
+        ))
+    elif lr_schedule == "linear":
+        sched = _with_warmup(
+            optax.linear_schedule(learning_rate, 0.0, decay_steps)
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    return sched
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     beta1: float = 0.9,
@@ -54,29 +105,15 @@ def make_optimizer(
     total_steps: int = 30_000,
     grad_accumulation_steps: int = 1,
     use_8bit: bool = False,
+    num_cycles: int = 1,
+    power: float = 1.0,
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clip matching the reference trainer defaults
     (train_text_to_image_control_lora.py:188, 209-255, 791-793). `use_8bit`
     swaps in block-wise int8 moment storage (reference train:500-508 /
-    bitsandbytes; see training/adam8bit.py)."""
-    if lr_schedule == "constant":
-        sched = optax.join_schedules(
-            [optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1)),
-             optax.constant_schedule(learning_rate)],
-            [warmup_steps],
-        ) if warmup_steps else learning_rate
-    elif lr_schedule == "cosine":
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, warmup_steps, total_steps
-        )
-    elif lr_schedule == "linear":
-        sched = optax.join_schedules(
-            [optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1)),
-             optax.linear_schedule(learning_rate, 0.0, total_steps - warmup_steps)],
-            [warmup_steps],
-        )
-    else:
-        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    bitsandbytes; see training/adam8bit.py). Schedule names: make_lr_schedule."""
+    sched = make_lr_schedule(learning_rate, lr_schedule, warmup_steps,
+                             total_steps, num_cycles, power)
     if use_8bit:
         from controllora_tpu.training.adam8bit import adamw8bit
 

@@ -29,9 +29,11 @@ def parse_args(argv=None):
                         "the reference eval's checkpoint path "
                         "(test_text_to_image_control_lora.py:706-731)")
     p.add_argument("--lora_weights", type=str, default=None,
-                   help="DreamBooth attn-procs LoRA (pytorch_lora_weights.safetensors) "
-                        "— sample with a plain LoRA instead of / in addition to a "
-                        "ControlLoRA (the reference test_dreambooth_lora.py path)")
+                   help="DreamBooth attn-procs LoRA: a pytorch_lora_weights.safetensors "
+                        "file or a training output_dir (combine with "
+                        "--resume_from_checkpoint to sample a mid-training step and "
+                        "re-save the run-root artifact, reference "
+                        "test_dreambooth_lora.py:824-851). Composes with a ControlLoRA")
     p.add_argument("--prompt", type=str, default=None,
                    help="fixed prompt (required for --lora_weights-only sampling)")
     p.add_argument("--dataset_name", type=str, default="process/fill50k")
@@ -70,23 +72,26 @@ def main(argv=None):
         print("WARNING: random frozen stack (no pretrained weights)")
 
     tokenizer = default_tokenizer(require_clip=bool(args.pretrained_model_name_or_path))
+
+    def resolve_checkpoint(run_dir):
+        """--resume_from_checkpoint 'latest'|N -> (step, checkpoint dir)."""
+        from controllora_tpu.training.checkpoint import checkpoint_step_dirs
+
+        dirs = checkpoint_step_dirs(run_dir)
+        if not dirs:
+            raise SystemExit(f"no checkpoint-* under {run_dir}")
+        if args.resume_from_checkpoint == "latest":
+            return dirs[-1]
+        match = {s: p for s, p in dirs}
+        step_num = int(args.resume_from_checkpoint)
+        if step_num not in match:
+            raise SystemExit(f"checkpoint-{step_num} not found; have {sorted(match)}")
+        return step_num, match[step_num]
+
     control_lora = control_params = None
     load_dir = args.control_lora_dir
     if args.control_lora_dir and args.resume_from_checkpoint:
-        from controllora_tpu.training.checkpoint import checkpoint_step_dirs
-
-        dirs = checkpoint_step_dirs(args.control_lora_dir)
-        if not dirs:
-            raise SystemExit(f"no checkpoint-* under {args.control_lora_dir}")
-        if args.resume_from_checkpoint == "latest":
-            step_num, ckpt = dirs[-1]
-        else:
-            match = {s: p for s, p in dirs}
-            step_num = int(args.resume_from_checkpoint)
-            if step_num not in match:
-                raise SystemExit(
-                    f"checkpoint-{step_num} not found; have {sorted(match)}")
-            ckpt = match[step_num]
+        step_num, ckpt = resolve_checkpoint(args.control_lora_dir)
         load_dir = os.path.join(ckpt, "control_lora")
         print(f"sampling from training checkpoint-{step_num}")
     if args.control_lora_dir:
@@ -108,14 +113,33 @@ def main(argv=None):
         from controllora_tpu.utils.torch_compat import (
             attn_procs_from_torch,
             load_state_dict,
+            save_state_dict,
         )
 
+        lw = args.lora_weights
+        if os.path.isdir(lw):
+            # a DreamBooth training output_dir: resolve the artifact, optionally
+            # from a mid-training checkpoint (the reference eval loads
+            # --resume_from_checkpoint and re-saves the run-root weights,
+            # test_dreambooth_lora.py:824-851)
+            run_dir = lw
+            if args.resume_from_checkpoint and not args.control_lora_dir:
+                step_num, ckpt = resolve_checkpoint(run_dir)
+                lw = os.path.join(ckpt, "pytorch_lora_weights.safetensors")
+                print(f"sampling LoRA from training checkpoint-{step_num}")
+            else:
+                lw = os.path.join(run_dir, "pytorch_lora_weights.safetensors")
+        sd = load_state_dict(lw)
+        if os.path.isdir(args.lora_weights) and lw != os.path.join(
+                args.lora_weights, "pytorch_lora_weights.safetensors"):
+            for fname in ("pytorch_lora_weights.safetensors",
+                          "pytorch_lora_weights.bin"):
+                save_state_dict(sd, os.path.join(args.lora_weights, fname))
+            print(f"re-saved final artifact to {args.lora_weights}")
         spec = AdapterSpec(kind="lora")
         extra_loras = {
             name: AttnAdapter(params=p, spec=spec)
-            for name, p in attn_procs_from_torch(
-                load_state_dict(args.lora_weights)
-            ).items()
+            for name, p in attn_procs_from_torch(sd).items()
         }
         print(f"loaded {len(extra_loras)} plain LoRA adapters")
     if control_lora is None and extra_loras is None:

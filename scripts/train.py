@@ -51,7 +51,10 @@ def parse_args(argv=None):
     # optimization (reference defaults: train:188, 209-255)
     p.add_argument("--train_batch_size", type=int, default=16, help="per-device")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
-    p.add_argument("--max_train_steps", type=int, default=30_000)
+    p.add_argument("--num_train_epochs", type=int, default=100)
+    p.add_argument("--max_train_steps", type=int, default=None,
+                   help="overrides --num_train_epochs when set (reference "
+                        "train:190-195; the reference tasks pin 30000)")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--lr_scheduler", type=str, default="constant")
@@ -172,36 +175,6 @@ def main(argv=None):
     # bf16 compute here measured 309 vs 337 ms/step at 512^2 b8 (docs/BENCHMARKS.md)
     control_lora = ControlLoRA(ccfg, dtype=dtype)
 
-    lr = args.learning_rate
-    if args.scale_lr:
-        lr = lr * args.gradient_accumulation_steps * args.train_batch_size * n_dev
-    optimizer = make_optimizer(
-        learning_rate=lr,
-        beta1=args.adam_beta1,
-        beta2=args.adam_beta2,
-        weight_decay=args.adam_weight_decay,
-        eps=args.adam_epsilon,
-        max_grad_norm=args.max_grad_norm,
-        lr_schedule=args.lr_scheduler,
-        warmup_steps=args.lr_warmup_steps,
-        total_steps=args.max_train_steps,
-        grad_accumulation_steps=args.gradient_accumulation_steps,
-        use_8bit=args.use_8bit_adam,
-    )
-    trainer = ControlLoRATrainer(
-        control_lora=control_lora,
-        unet=unet,
-        frozen=frozen,
-        vae=vae,
-        text_encoder=text_encoder,
-        optimizer=optimizer,
-        mesh=mesh,
-        prediction_type=args.prediction_type,
-        snr_gamma=args.snr_gamma,
-        remat_unet=args.gradient_checkpointing,
-        remat_policy=args.remat_policy,
-    )
-
     # ---- data
     tokenizer = default_tokenizer(require_clip=bool(args.pretrained_model_name_or_path))
     if args.dataset_name.startswith("process/"):
@@ -232,6 +205,47 @@ def main(argv=None):
             dataset, vae, frozen["vae"], cache_path=args.latent_cache_path
         )
     global_batch = args.train_batch_size * n_dev
+
+    # epochs ↔ steps interplay (reference train:190-195, 669-690):
+    # --max_train_steps (optimizer updates) wins when given
+    if args.max_train_steps is None:
+        import math
+
+        steps_per_epoch = max(math.ceil(
+            len(dataset) / global_batch / args.gradient_accumulation_steps), 1)
+        args.max_train_steps = args.num_train_epochs * steps_per_epoch
+        print(f"training {args.num_train_epochs} epochs = "
+              f"{args.max_train_steps} steps")
+
+    lr = args.learning_rate
+    if args.scale_lr:
+        lr = lr * args.gradient_accumulation_steps * args.train_batch_size * n_dev
+    optimizer = make_optimizer(
+        learning_rate=lr,
+        beta1=args.adam_beta1,
+        beta2=args.adam_beta2,
+        weight_decay=args.adam_weight_decay,
+        eps=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        lr_schedule=args.lr_scheduler,
+        warmup_steps=args.lr_warmup_steps,
+        total_steps=args.max_train_steps,
+        grad_accumulation_steps=args.gradient_accumulation_steps,
+        use_8bit=args.use_8bit_adam,
+    )
+    trainer = ControlLoRATrainer(
+        control_lora=control_lora,
+        unet=unet,
+        frozen=frozen,
+        vae=vae,
+        text_encoder=text_encoder,
+        optimizer=optimizer,
+        mesh=mesh,
+        prediction_type=args.prediction_type,
+        snr_gamma=args.snr_gamma,
+        remat_unet=args.gradient_checkpointing,
+        remat_policy=args.remat_policy,
+    )
 
     # ---- state (+ resume) — restored BEFORE the data iterator exists so the stream
     # can fast-forward to start_step (reference skip_first_batches, train:745-749)

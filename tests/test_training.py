@@ -306,3 +306,38 @@ def test_fill50k_synthetic():
     b = next(batches)
     assert b["pixel_values"].shape == (4, 64, 64, 3)
     assert b["input_ids"].dtype == np.int32
+
+
+def test_lr_schedules_reference_surface():
+    """make_lr_schedule covers the diffusers get_scheduler names the reference
+    exposes (train_dreambooth_lora.py:291-308, :790-796): warmup ramps, hard
+    cosine restarts, and the polynomial 1e-7 floor."""
+    from controllora_tpu.training.trainer import make_lr_schedule
+
+    lr = 1e-3
+    s = make_lr_schedule(lr, "constant_with_warmup", warmup_steps=10, total_steps=100)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(5)), lr / 2, rtol=1e-6)
+    np.testing.assert_allclose(float(s(10)), lr, rtol=1e-6)
+    np.testing.assert_allclose(float(s(99)), lr, rtol=1e-6)
+
+    # two hard restarts: decays to ~0 at each segment end, snaps back to peak
+    s = make_lr_schedule(lr, "cosine_with_restarts", total_steps=100, num_cycles=2)
+    np.testing.assert_allclose(float(s(0)), lr, rtol=1e-6)
+    assert float(s(49)) < 0.01 * lr
+    np.testing.assert_allclose(float(s(50)), lr, rtol=1e-6)
+    assert float(s(99)) < 0.01 * lr
+
+    # polynomial: power-law decay onto the diffusers lr_end floor (1e-7)
+    s = make_lr_schedule(lr, "polynomial", total_steps=100, power=2.0)
+    np.testing.assert_allclose(float(s(0)), lr, rtol=1e-6)
+    np.testing.assert_allclose(float(s(50)), (lr - 1e-7) * 0.25 + 1e-7, rtol=1e-5)
+    np.testing.assert_allclose(float(s(100)), 1e-7, rtol=1e-5)
+
+    # linear with warmup: peak at warmup end, 0 at total
+    s = make_lr_schedule(lr, "linear", warmup_steps=10, total_steps=100)
+    np.testing.assert_allclose(float(s(10)), lr, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-12)
+
+    with pytest.raises(ValueError):
+        make_lr_schedule(lr, "nope")
