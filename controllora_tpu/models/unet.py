@@ -195,11 +195,23 @@ class CrossAttention(nn.Module):
     cross_attention_dim: Optional[int] = None
     out_bias: bool = True
     dtype: Any = jnp.float32
+    # tensor-parallel serving (parallel/tp.py): this instance runs under
+    # shard_map with kernels pre-sliced over `tp_axis` — it sees heads/tp_size
+    # local heads and completes the row-parallel out projection with one psum.
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, hidden, ctx=None, stack: Optional[Any] = None, lora_scale=1.0):
-        inner = self.heads * self.dim_head
+        heads = self.heads // self.tp_size
+        inner = heads * self.dim_head
         folded = stack is not None and not isinstance(stack, AdapterStack)
+        if self.tp_size > 1 and stack is not None and not folded:
+            raise ValueError(
+                "tensor-parallel serving supports folded adapter stacks only "
+                "(fold_adapters runs before the params shard); got an unfolded "
+                "AdapterStack — pre/post chains cannot shard by heads"
+            )
         if folded:
             # inference fast path: adapters pre-folded into kernels (ops/folding.py);
             # only the precomputed per-position biases remain
@@ -222,7 +234,7 @@ class CrossAttention(nn.Module):
                 from controllora_tpu.ops.pallas_attention import biased_attention
 
                 attn = biased_attention(
-                    q, k, v, self.heads,
+                    q, k, v, heads,
                     q_bias=stack.q_bias, k_bias=stack.k_bias, v_bias=stack.v_bias,
                     block=1024,
                 )
@@ -233,10 +245,17 @@ class CrossAttention(nn.Module):
                     k = k + stack.k_bias.astype(k.dtype)
                 if stack.v_bias is not None:
                     v = v + stack.v_bias.astype(v.dtype)
-                attn = dot_product_attention(q, k, v, self.heads)
-            out = dense(inner, self.dtype, "to_out_0", use_bias=self.out_bias)(attn)
+                attn = dot_product_attention(q, k, v, heads)
+            out = dense(
+                self.heads * self.dim_head, self.dtype, "to_out_0",
+                use_bias=self.out_bias,
+            )(attn)
             if stack.out_bias is not None:
                 out = out + stack.out_bias.astype(out.dtype)
+            if self.tp_axis is not None:
+                # complete the row-parallel projection (bias and out_bias are
+                # pre-divided by tp_size — see parallel/tp.py)
+                out = jax.lax.psum(out, self.tp_axis)
             return out
 
         if stack is not None:
@@ -254,13 +273,18 @@ class CrossAttention(nn.Module):
             k = adapt_key(stack, k, ctx_in, lora_scale)
             v = adapt_value(stack, v, ctx_in, lora_scale)
 
-        attn = dot_product_attention(q, k, v, self.heads)
+        attn = dot_product_attention(q, k, v, heads)
 
         if stack is not None:
             attn = adapt_hidden_post_attn(stack, attn, lora_scale)
-        out = dense(inner, self.dtype, "to_out_0", use_bias=self.out_bias)(attn)
+        out = dense(
+            self.heads * self.dim_head, self.dtype, "to_out_0",
+            use_bias=self.out_bias,
+        )(attn)
         if stack is not None:
             out = adapt_output(stack, out, attn, lora_scale)
+        if self.tp_axis is not None:
+            out = jax.lax.psum(out, self.tp_axis)
         return out
 
 
@@ -270,15 +294,22 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: Any = jnp.float32
+    # tensor-parallel serving (parallel/tp.py): net_0_proj columns pre-sliced
+    # per rank ([a_r ‖ gate_r] re-blocked), net_2 row-parallel + psum.
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, x):
-        inner = self.dim * self.mult
+        inner = self.dim * self.mult // self.tp_size
         proj = dense(inner * 2, self.dtype, "net_0_proj")(x)
         a, gate = jnp.split(proj, 2, axis=-1)
         # gelu in fp32 for bf16 safety
         h = a * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(a.dtype)
-        return dense(self.dim, self.dtype, "net_2")(h)
+        out = dense(self.dim, self.dtype, "net_2")(h)
+        if self.tp_axis is not None:
+            out = jax.lax.psum(out, self.tp_axis)
+        return out
 
 
 class BasicTransformerBlock(nn.Module):
@@ -288,6 +319,8 @@ class BasicTransformerBlock(nn.Module):
     cross_attention_dim: int
     proc_prefix: str = ""  # e.g. "down_blocks.0.attentions.0.transformer_blocks.0"
     dtype: Any = jnp.float32
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, x, ctx, adapters=None, lora_scale=1.0):
@@ -296,9 +329,10 @@ class BasicTransformerBlock(nn.Module):
                 return None
             return adapters.get(f"{self.proc_prefix}.{attn_name}.processor")
 
+        tp = dict(tp_axis=self.tp_axis, tp_size=self.tp_size)
         h = LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(
-            self.heads, self.dim_head, None, dtype=self.dtype, name="attn1"
+            self.heads, self.dim_head, None, dtype=self.dtype, name="attn1", **tp
         )(h, None, stack_for("attn1"), lora_scale)
 
         h = LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -308,10 +342,11 @@ class BasicTransformerBlock(nn.Module):
             self.cross_attention_dim,
             dtype=self.dtype,
             name="attn2",
+            **tp,
         )(h, ctx, stack_for("attn2"), lora_scale)
 
         h = LayerNorm(dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff", **tp)(h)
         return x
 
 
@@ -323,6 +358,8 @@ class Transformer2DModel(nn.Module):
     groups: int = 32
     proc_prefix: str = ""
     dtype: Any = jnp.float32
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, x, ctx, adapters=None, lora_scale=1.0):
@@ -341,6 +378,8 @@ class Transformer2DModel(nn.Module):
                 proc_prefix=f"{self.proc_prefix}.transformer_blocks.{i}",
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
+                tp_axis=self.tp_axis,
+                tp_size=self.tp_size,
             )(x, ctx, adapters, lora_scale)
         x = x.reshape(b, hh, ww, inner)
         x = conv1(c, self.dtype, "proj_out")(x)
@@ -353,6 +392,12 @@ class Transformer2DModel(nn.Module):
 class UNet2DConditionModel(nn.Module):
     config: UNetConfig = UNetConfig()
     dtype: Any = jnp.float32
+    # tensor-parallel serving over a mesh 'model' axis (parallel/tp.py): the
+    # transformer blocks' matmuls shard by heads / GEGLU columns; convs, norms
+    # and embeddings replicate. Only valid under shard_map with params sliced
+    # by tp_param_specs.
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(
@@ -405,6 +450,8 @@ class UNet2DConditionModel(nn.Module):
                         proc_prefix=f"down_blocks.{bi}.attentions.{li}",
                         dtype=self.dtype,
                         name=f"down_blocks_{bi}_attentions_{li}",
+                        tp_axis=self.tp_axis,
+                        tp_size=self.tp_size,
                     )(h, ctx, adapters, lora_scale)
                 res_stack.append(h)
             if not is_final:
@@ -424,6 +471,8 @@ class UNet2DConditionModel(nn.Module):
             proc_prefix="mid_block.attentions.0",
             dtype=self.dtype,
             name="mid_attentions_0",
+            tp_axis=self.tp_axis,
+            tp_size=self.tp_size,
         )(h, ctx, adapters, lora_scale)
         h = ResnetBlock2D(
             mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnets_1"
@@ -455,6 +504,8 @@ class UNet2DConditionModel(nn.Module):
                         proc_prefix=f"up_blocks.{bi}.attentions.{li}",
                         dtype=self.dtype,
                         name=f"up_blocks_{bi}_attentions_{li}",
+                        tp_axis=self.tp_axis,
+                        tp_size=self.tp_size,
                     )(h, ctx, adapters, lora_scale)
             if not is_final:
                 h = Upsample2D(out_ch, self.dtype, name=f"up_blocks_{bi}_upsample")(h)

@@ -31,14 +31,31 @@ def make_mesh(
 
 
 def make_serving_mesh(
-    devices: Optional[Sequence[jax.Device]] = None, cfg: bool = True
+    devices: Optional[Sequence[jax.Device]] = None, cfg: bool = True,
+    model: int = 1,
 ) -> Mesh:
-    """Serving mesh: ('data', 'cfg') with cfg=2 when the device count is even —
-    the 'cfg' axis halves batch-1 latency by splitting the guidance pair across
-    chips (pipelines/text_to_image.py), while 'data' scales throughput. Falls
-    back to pure data-parallel for odd device counts or cfg=False."""
+    """Serving mesh: up to three axes ('data', 'cfg', 'model').
+
+    * 'data' shards the image batch (throughput; zero collectives),
+    * 'cfg' (size 2) splits the [uncond ‖ cond] guidance pair (latency; one
+      eps-psum per step),
+    * 'model' (`model=k`) tensor-parallelizes the UNet transformer blocks
+      (latency beyond cfg=2; see parallel/tp.py). Innermost so its psums ride
+      adjacent-chip ICI links.
+
+    Falls back to pure data-parallel for odd device counts or cfg=False."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if model > 1:
+        if n % (2 * model if cfg else model):
+            raise ValueError(
+                f"{n} devices cannot tile (data, "
+                f"{'cfg=2, ' if cfg else ''}model={model})"
+            )
+        if cfg:
+            return make_mesh((n // (2 * model), 2, model),
+                             ("data", "cfg", "model"), devices)
+        return make_mesh((n // model, model), ("data", "model"), devices)
     if cfg and n > 1 and n % 2 == 0:
         return make_mesh((n // 2, 2), ("data", "cfg"), devices)
     return make_mesh(devices=devices)

@@ -119,6 +119,16 @@ class StableDiffusionControlLoRAPipeline:
                 f"the 'cfg' mesh axis carries the [uncond ‖ cond] guidance pair "
                 f"and must have size 2, got {mesh.shape['cfg']}"
             )
+        # 'model' axis: Megatron-style tensor parallelism of the UNet
+        # transformer blocks (parallel/tp.py) — the latency axis beyond cfg=2.
+        self._tp = int(dict(mesh.shape).get("model", 1)) if mesh is not None else 1
+        if self._tp > 1:
+            from controllora_tpu.parallel.tp import validate_tp
+
+            validate_tp(unet.config, self._tp)
+            self._unet_tp = UNet2DConditionModel(
+                unet.config, dtype=unet.dtype, tp_axis="model", tp_size=self._tp
+            )
         self._sample_cache: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------ text
@@ -186,21 +196,17 @@ class StableDiffusionControlLoRAPipeline:
             model_input = lambda s, i: get_sample(s)
 
         cfg_split = self._cfg_split
+        tp = self._tp
+        unet_mod = self._unet_tp if tp > 1 else self.unet
 
-        def sample_fn(unet_params, vae_params, latents, ctx, adapters, guidance_scale,
-                      lora_scale, fold):
+        def core(unet_params, vae_params, latents, ctx, adapters, guidance_scale,
+                 lora_scale):
             # frozen weights are jit ARGUMENTS — closure capture would embed them as
             # multi-GB HLO constants and cripple (remote) compilation.
             # ctx arrives as the (2, 77, hidden) [uncond ‖ cond] pair and is repeated
             # to the (local) batch HERE — so that under shard_map each device builds
             # its own CFG context and the global [uncond*n ‖ cond*n] layout never has
             # to shard across devices.
-            if fold and adapters:
-                # collapse the whole adapter stack into the kernels + per-position
-                # biases once — the 20-step loop then runs at plain-SD1.5 cost
-                from controllora_tpu.ops.folding import fold_adapters
-
-                unet_params, adapters = fold_adapters(unet_params, adapters, lora_scale)
             n = latents.shape[0]
             if cfg_split:
                 # Each 'cfg' rank evaluates ONE guidance branch on the full local
@@ -223,7 +229,7 @@ class StableDiffusionControlLoRAPipeline:
                 lat = model_input(state, i)
                 if cfg_split:
                     t = jnp.broadcast_to(ts[i], (n,))
-                    eps = self.unet.apply(
+                    eps = unet_mod.apply(
                         {"params": unet_params}, lat, t, ctx_n, adapters, lora_scale
                     )
                     eps_g = jax.lax.psum(
@@ -232,7 +238,7 @@ class StableDiffusionControlLoRAPipeline:
                     return step(state, eps_g, i), None
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 t = jnp.broadcast_to(ts[i], (lat2.shape[0],))
-                eps = self.unet.apply(
+                eps = unet_mod.apply(
                     {"params": unet_params}, lat2, t, ctx_n, adapters, lora_scale
                 )
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
@@ -246,7 +252,56 @@ class StableDiffusionControlLoRAPipeline:
 
             return decode_per_image(self.vae, vae_params, get_sample(state))
 
-        if self.mesh is not None:
+        def sample_fn(unet_params, vae_params, latents, ctx, adapters,
+                      guidance_scale, lora_scale, fold):
+            if fold and adapters:
+                # collapse the whole adapter stack into the kernels + per-position
+                # biases once — the 20-step loop then runs at plain-SD1.5 cost
+                from controllora_tpu.ops.folding import fold_adapters
+
+                unet_params, adapters = fold_adapters(unet_params, adapters,
+                                                      lora_scale)
+            return core(unet_params, vae_params, latents, ctx, adapters,
+                        guidance_scale, lora_scale)
+
+        if self.mesh is not None and tp > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def sharded(unet_params, vae_params, latents, ctx, adapters,
+                        guidance_scale, lora_scale, fold):
+                # Tensor-parallel serving: adapters fold at GLOBAL level (the
+                # folded kernels then shard like the base ones), the param tree
+                # is prepped (GEGLU column re-blocking, row-bias pre-division)
+                # and shard_map slices it per tp_param_specs. `core` runs the
+                # local UNet (heads/tp per device) with in-model psums.
+                from controllora_tpu.ops.folding import fold_adapters
+                from controllora_tpu.parallel.tp import (
+                    tp_bias_specs,
+                    tp_param_specs,
+                    tp_prepare_biases,
+                    tp_prepare_params,
+                )
+
+                if adapters:
+                    # __call__ guarantees foldability before we get here
+                    unet_params, adapters = fold_adapters(unet_params, adapters,
+                                                          lora_scale)
+                unet_params = tp_prepare_params(unet_params, tp)
+                adapters = tp_prepare_biases(adapters, tp)
+                f = shard_map(
+                    core,
+                    mesh=self.mesh,
+                    in_specs=(tp_param_specs(unet_params), P(), P("data"), P(),
+                              tp_bias_specs(adapters), P(), P()),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+                return f(unet_params, vae_params, latents, ctx, adapters,
+                         guidance_scale, lora_scale)
+
+            jitted = jax.jit(sharded, static_argnames=("fold",))
+        elif self.mesh is not None:
             from functools import partial
 
             from jax import shard_map
@@ -366,6 +421,13 @@ class StableDiffusionControlLoRAPipeline:
                 raise ValueError(
                     "data-parallel serving supports a single (replicated) guide; got "
                     f"guide batch {guide.shape[0]}"
+                )
+            if self._tp > 1 and adapters and not foldable:
+                raise ValueError(
+                    "tensor-parallel serving (mesh 'model' axis) folds adapters "
+                    "into the sharded kernels; pre/post adapter chains (mix / "
+                    "multi-control composition) cannot fold — serve those on a "
+                    "('data', 'cfg') mesh instead"
                 )
         img = sampler(lat0, ctx, adapters, jnp.float32(guidance_scale),
                       jnp.float32(lora_scale), foldable)
