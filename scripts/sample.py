@@ -43,9 +43,56 @@ def parse_args(argv=None):
     p.add_argument("--scheduler", type=str, default="dpm++",
                    choices=["dpm++", "ddim", "pndm", "euler", "unipc"])
     p.add_argument("--guidance_scale", type=float, default=9.0)
+    p.add_argument("--serving_mesh", type=str, default=None,
+                   help="multi-chip serving axes, e.g. 'data' (shard the image "
+                        "batch), 'cfg' (split the guidance pair, halves batch-1 "
+                        "latency on 2 chips), 'cfg,model=2' (additionally "
+                        "tensor-parallel the UNet transformer blocks — "
+                        "parallel/tp.py). Since this script renders one image "
+                        "per call, prefer the latency axes (cfg/model); a "
+                        "'data' axis requires the batch to divide across it")
     p.add_argument("--output_dir", type=str, default="samples/run")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
+
+
+def build_serving_mesh(spec):
+    """--serving_mesh 'data'|'cfg'|'cfg,model=K'|'data,cfg,model=K' -> Mesh|None.
+
+    With 'data' listed, spare devices fall to the data axis ('data,cfg,model=2'
+    on a v5e-8 = data 2 × cfg 2 × model 2 — needs the batch to divide by 2).
+    Without it, only the latency axes claim devices (data stays 1), so the
+    one-image-per-call eval loop shards without batch constraints."""
+    if not spec:
+        return None
+    import jax
+
+    from controllora_tpu.parallel import make_mesh, make_serving_mesh
+
+    cfg, model, saw_data = False, 1, False
+    for t in (t.strip() for t in spec.split(",") if t.strip()):
+        if t == "data":
+            saw_data = True
+        elif t == "cfg":
+            cfg = True
+        elif t.startswith("model="):
+            model = int(t.split("=", 1)[1])
+        elif t == "model":
+            model = 2
+        else:
+            raise SystemExit(f"unknown serving mesh axis {t!r} "
+                             "(want data | cfg | model=K)")
+    if not cfg and model == 1:
+        return make_mesh()  # pure data-parallel
+    devices = None
+    if not saw_data:
+        need = (2 if cfg else 1) * model
+        avail = jax.devices()
+        if len(avail) < need:
+            raise SystemExit(
+                f"serving mesh '{spec}' needs {need} devices, have {len(avail)}")
+        devices = avail[:need]
+    return make_serving_mesh(devices=devices, cfg=cfg, model=model)
 
 
 def main(argv=None):
@@ -153,9 +200,12 @@ def main(argv=None):
     scheduler = {"dpm++": DPMSolverMultistepScheduler, "ddim": DDIMScheduler,
                  "pndm": PNDMScheduler, "euler": EulerDiscreteScheduler,
                  "unipc": UniPCMultistepScheduler}[args.scheduler]()
+    mesh = build_serving_mesh(args.serving_mesh)
+    if mesh is not None:
+        print(f"serving mesh: {dict(mesh.shape)}")
     pipe = StableDiffusionControlLoRAPipeline(
         unet, vae, text_encoder, tokenizer, frozen, control_lora, control_params,
-        scheduler=scheduler,
+        scheduler=scheduler, mesh=mesh,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)

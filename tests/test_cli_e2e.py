@@ -243,6 +243,44 @@ def test_dreambooth_accum_prior_validation(tmp_path):
     assert len(pngs) >= 2, pngs
 
 
+def test_build_serving_mesh_parse():
+    import sample as sample_cli
+
+    assert sample_cli.build_serving_mesh(None) is None
+    # latency-only spec: data stays 1 so a batch-1 render shards freely
+    m = sample_cli.build_serving_mesh("cfg,model=2")
+    assert dict(m.shape) == {"data": 1, "cfg": 2, "model": 2}
+    m = sample_cli.build_serving_mesh("data,cfg,model=2")
+    assert dict(m.shape) == {"data": 2, "cfg": 2, "model": 2}
+    m = sample_cli.build_serving_mesh("data")
+    assert dict(m.shape) == {"data": 8}
+    with pytest.raises(SystemExit, match="unknown serving mesh axis"):
+        sample_cli.build_serving_mesh("bogus")
+
+
+def test_sample_serving_mesh_flag(tmp_path):
+    """--serving_mesh routes the eval through the multi-chip sampler (here the
+    full three-axis data×cfg×model composition on the 8-device test mesh)."""
+    import sample as sample_cli
+    import train as train_cli
+
+    out = str(tmp_path / "run")
+    train_cli.main([
+        "--model_variant", "smoke", "--dataset_name", "process/fill50k",
+        "--resolution", "64", "--train_batch_size", "1", "--max_train_steps", "1",
+        "--output_dir", out, "--checkpointing_steps", "0",
+        "--log_every", "1", "--seed", "3",
+    ])
+    odir = str(tmp_path / "s")
+    sample_cli.main([
+        "--model_variant", "smoke", "--control_lora_dir", out,
+        "--resolution", "64", "--num_inference_steps", "2",
+        "--num_validation_images", "1", "--serving_mesh", "cfg,model=2",
+        "--output_dir", odir, "--seed", "4",
+    ])
+    assert os.path.exists(os.path.join(odir, "0.png"))
+
+
 def test_train_kill_resume_and_sample(tmp_path):
     from controllora_tpu.training.checkpoint import load_control_lora
 
