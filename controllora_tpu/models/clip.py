@@ -9,7 +9,7 @@ hidden 768, 12 heads, quick_gelu, causal mask, max 77 positions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,10 +25,32 @@ class CLIPTextConfig:
     intermediate_size: int = 3072
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
+    # "quick_gelu" (SD1.x CLIP ViT-L) or "gelu" (SD2.x OpenCLIP ViT-H text
+    # tower, already truncated to its penultimate layer in the diffusers
+    # checkpoint layout: hidden 1024, 23 layers, 16 heads)
+    hidden_act: str = "quick_gelu"
+    # SDXL towers return the hidden state ENTERING the last encoder layer
+    # (diffusers hidden_states[-2], no final layer norm) as the context
+    penultimate: bool = False
+    # OpenCLIP-style pooled projection head (SDXL text_encoder_2 /
+    # CLIPTextModelWithProjection): EOS-token pooling of the final-normed last
+    # hidden state -> Linear(hidden, projection_dim, bias-free). When set,
+    # __call__ returns (context, pooled) instead of context alone.
+    projection_dim: Optional[int] = None
 
 
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return quick_gelu
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(
+            x.astype(jnp.float32), approximate=False
+        ).astype(x.dtype)
+    raise ValueError(f"unknown hidden_act {name!r}")
 
 
 class CLIPAttention(nn.Module):
@@ -82,7 +104,7 @@ class CLIPEncoderLayer(nn.Module):
         h = nn.Dense(
             cfg.intermediate_size, dtype=self.dtype, param_dtype=jnp.float32, name="fc1"
         )(h)
-        h = quick_gelu(h)
+        h = _act(cfg.hidden_act)(h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
         return x + h
 
@@ -108,10 +130,55 @@ class CLIPTextModel(nn.Module):
         x = tok + pos
 
         causal_mask = jnp.triu(jnp.full((l, l), -1e9, dtype=jnp.float32), k=1)[None, None]
+        penult = None
         for i in range(cfg.num_layers):
+            if cfg.penultimate and i == cfg.num_layers - 1:
+                penult = x
             x = CLIPEncoderLayer(cfg, self.dtype, name=f"layers_{i}")(x, causal_mask)
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32,
             name="final_layer_norm",
         )(x.astype(jnp.float32))
-        return x.astype(jnp.float32)
+        ctx = penult.astype(jnp.float32) if cfg.penultimate else x.astype(jnp.float32)
+        if cfg.projection_dim is None:
+            return ctx
+        # EOS pooling: the EOS token is the highest id in the CLIP vocab, so the
+        # argmax position is its (first) occurrence (transformers
+        # CLIPTextModelWithProjection pooling convention)
+        eos = jnp.argmax(input_ids, axis=-1)
+        pooled = x[jnp.arange(b), eos].astype(self.dtype)
+        pooled = nn.Dense(
+            cfg.projection_dim, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="text_projection",
+        )(pooled)
+        return ctx, pooled.astype(jnp.float32)
+
+
+class DualCLIPTextEncoder(nn.Module):
+    """SDXL dual text tower: CLIP ViT-L + OpenCLIP ViT-bigG, both read at their
+    penultimate layer, concatenated into the 2048-d cross-attention context;
+    tower 2's EOS-pooled projection provides the `text_embeds` micro-conditioning
+    vector (diffusers StableDiffusionXLPipeline.encode_prompt semantics).
+
+    Both towers consume the same token ids (the two SDXL tokenizers share the
+    CLIP vocab; they differ only in pad-token id, which never reaches the model
+    because CLIP ids are fixed-length 77 with EOS-argmax pooling)."""
+
+    config1: CLIPTextConfig
+    config2: CLIPTextConfig
+    dtype: Any = jnp.float32
+
+    @property
+    def context_dim(self) -> int:
+        return self.config1.hidden_size + self.config2.hidden_size
+
+    @property
+    def pooled_dim(self) -> int:
+        return self.config2.projection_dim
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray):
+        """(B, 77) ids -> ((B, 77, h1+h2) context, (B, projection_dim) pooled)."""
+        c1 = CLIPTextModel(self.config1, self.dtype, name="te1")(input_ids)
+        c2, pooled = CLIPTextModel(self.config2, self.dtype, name="te2")(input_ids)
+        return jnp.concatenate([c1, c2], axis=-1), pooled

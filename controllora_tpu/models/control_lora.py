@@ -228,7 +228,9 @@ class ControlLoRA:
             spec = adapter_spec_for(cfg, i)
             hidden = cfg.lora_block_out_channels[i]
             slots = []
-            rngs = jax.random.split(bucket_rngs[i], len(cfg.lora_cross_attention_dims[i]))
+            # a bucket can be adapter-free (SDXL level 0 has no attention layers)
+            dims = cfg.lora_cross_attention_dims[i]
+            rngs = jax.random.split(bucket_rngs[i], len(dims)) if dims else ()
             for j, cross_dim in enumerate(cfg.lora_cross_attention_dims[i]):
                 slots.append(
                     init_adapter_params(

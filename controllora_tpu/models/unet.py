@@ -58,7 +58,25 @@ class UNetConfig:
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     cross_attention_dim: int = 768
-    attention_head_dim: int = 8  # number of heads (diffusers naming quirk)
+    # number of heads (diffusers naming quirk). SD1.x: a single int (8).
+    # SD2.x-style configs: a per-down-block tuple, e.g. (5, 10, 20, 20) with
+    # dim_head 64 at every level; up blocks mirror in reverse, mid uses the last.
+    attention_head_dim: Any = 8
+    # SD2.x Transformer2D uses Linear proj_in/proj_out on the flattened tokens
+    # instead of 1x1 convs (diffusers use_linear_projection)
+    use_linear_projection: bool = False
+    # Transformer2D depth per down block (int or tuple; up blocks mirror in
+    # reverse, mid uses the last). SDXL: (1, 2, 10) — depth 1 is never built
+    # because SDXL's first block is a plain DownBlock2D.
+    transformer_layers_per_block: Any = 1
+    # SDXL micro-conditioning: "text_time" feeds [pooled text ‖ sinusoidal
+    # embeddings of 6 size ids] through an add_embedding MLP into the time
+    # embedding (diffusers addition_embed_type="text_time")
+    addition_embed_type: Optional[str] = None
+    addition_time_embed_dim: int = 256
+    # expected add_embedding input width (pooled_dim + 6*addition_time_embed_dim);
+    # checked at trace time so size mismatches fail loudly. SDXL: 2816.
+    projection_class_embeddings_input_dim: Optional[int] = None
     norm_num_groups: int = 32
     norm_eps: float = 1e-5
     flip_sin_to_cos: bool = True
@@ -356,6 +374,10 @@ class Transformer2DModel(nn.Module):
     cross_attention_dim: int
     depth: int = 1
     groups: int = 32
+    # SD2.x: Linear proj_in/proj_out applied to the flattened token sequence
+    # instead of 1x1 convs (same math; kernel stored 2-D, diffusers
+    # use_linear_projection)
+    use_linear_projection: bool = False
     proc_prefix: str = ""
     dtype: Any = jnp.float32
     tp_axis: Optional[str] = None
@@ -367,8 +389,12 @@ class Transformer2DModel(nn.Module):
         inner = self.heads * self.dim_head
         residual = x
         x = GroupNorm(self.groups, 1e-6, self.dtype, name="norm")(x)
-        x = conv1(inner, self.dtype, "proj_in")(x)
-        x = x.reshape(b, hh * ww, inner)
+        if self.use_linear_projection:
+            x = x.reshape(b, hh * ww, c)
+            x = dense(inner, self.dtype, "proj_in")(x)
+        else:
+            x = conv1(inner, self.dtype, "proj_in")(x)
+            x = x.reshape(b, hh * ww, inner)
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 inner,
@@ -381,8 +407,12 @@ class Transformer2DModel(nn.Module):
                 tp_axis=self.tp_axis,
                 tp_size=self.tp_size,
             )(x, ctx, adapters, lora_scale)
-        x = x.reshape(b, hh, ww, inner)
-        x = conv1(c, self.dtype, "proj_out")(x)
+        if self.use_linear_projection:
+            x = dense(c, self.dtype, "proj_out")(x)
+            x = x.reshape(b, hh, ww, c)
+        else:
+            x = x.reshape(b, hh, ww, inner)
+            x = conv1(c, self.dtype, "proj_out")(x)
         return x + residual
 
 
@@ -407,9 +437,20 @@ class UNet2DConditionModel(nn.Module):
         encoder_hidden_states: jnp.ndarray,  # (B, 77, 768)
         adapters: Optional[Dict[str, AdapterStack]] = None,
         lora_scale: float = 1.0,
+        added_text_embeds: Optional[jnp.ndarray] = None,  # (B, pooled_dim), SDXL
+        added_time_ids: Optional[jnp.ndarray] = None,  # (B, 6), SDXL
     ) -> jnp.ndarray:
         cfg = self.config
-        heads = cfg.attention_head_dim
+        heads_per_block = (
+            tuple(cfg.attention_head_dim)
+            if isinstance(cfg.attention_head_dim, (tuple, list))
+            else (cfg.attention_head_dim,) * len(cfg.block_out_channels)
+        )
+        depths = (
+            tuple(cfg.transformer_layers_per_block)
+            if isinstance(cfg.transformer_layers_per_block, (tuple, list))
+            else (cfg.transformer_layers_per_block,) * len(cfg.block_out_channels)
+        )
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
@@ -420,6 +461,41 @@ class UNet2DConditionModel(nn.Module):
         time_embed_dim = cfg.block_out_channels[0] * 4
         temb = dense(time_embed_dim, self.dtype, "time_embedding_linear_1")(t_emb)
         temb = dense(time_embed_dim, self.dtype, "time_embedding_linear_2")(nn.silu(temb))
+
+        if cfg.addition_embed_type == "text_time":
+            # SDXL micro-conditioning (diffusers get_aug_embed, addition_embed_type
+            # "text_time"): each of the 6 size ids (orig_h, orig_w, crop_top,
+            # crop_left, target_h, target_w) gets the same sinusoidal embedding as
+            # a timestep, flattened and concatenated after the pooled text vector,
+            # then a two-layer MLP maps into the time-embedding space.
+            if added_text_embeds is None or added_time_ids is None:
+                raise ValueError(
+                    "addition_embed_type='text_time' requires added_text_embeds "
+                    "(pooled text, (B, pooled_dim)) and added_time_ids ((B, 6))"
+                )
+            b = added_time_ids.shape[0]
+            id_emb = timestep_embedding(
+                added_time_ids.reshape(-1),
+                cfg.addition_time_embed_dim,
+                cfg.flip_sin_to_cos,
+                cfg.freq_shift,
+            ).reshape(b, -1)
+            aug = jnp.concatenate(
+                [added_text_embeds.astype(jnp.float32), id_emb], axis=-1
+            )
+            want = cfg.projection_class_embeddings_input_dim
+            if want is not None and aug.shape[-1] != want:
+                raise ValueError(
+                    f"text_time embedding input is {aug.shape[-1]}-d (pooled "
+                    f"{added_text_embeds.shape[-1]} + 6*{cfg.addition_time_embed_dim}) "
+                    f"but projection_class_embeddings_input_dim={want}"
+                )
+            aug = aug.astype(self.dtype)
+            aug = dense(time_embed_dim, self.dtype, "add_embedding_linear_1")(aug)
+            aug = dense(time_embed_dim, self.dtype, "add_embedding_linear_2")(nn.silu(aug))
+            temb = temb + aug
+        elif cfg.addition_embed_type is not None:
+            raise ValueError(f"unknown addition_embed_type {cfg.addition_embed_type!r}")
 
         ctx = encoder_hidden_states.astype(self.dtype)
         sample = sample.astype(self.dtype)
@@ -443,10 +519,12 @@ class UNet2DConditionModel(nn.Module):
                 )(h, temb)
                 if btype == "CrossAttnDownBlock2D":
                     h = Transformer2DModel(
-                        heads,
-                        out_ch // heads,
+                        heads_per_block[bi],
+                        out_ch // heads_per_block[bi],
                         cfg.cross_attention_dim,
+                        depth=depths[bi],
                         groups=cfg.norm_num_groups,
+                        use_linear_projection=cfg.use_linear_projection,
                         proc_prefix=f"down_blocks.{bi}.attentions.{li}",
                         dtype=self.dtype,
                         name=f"down_blocks_{bi}_attentions_{li}",
@@ -464,10 +542,12 @@ class UNet2DConditionModel(nn.Module):
             mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnets_0"
         )(h, temb)
         h = Transformer2DModel(
-            heads,
-            mid_ch // heads,
+            heads_per_block[-1],
+            mid_ch // heads_per_block[-1],
             cfg.cross_attention_dim,
+            depth=depths[-1],
             groups=cfg.norm_num_groups,
+            use_linear_projection=cfg.use_linear_projection,
             proc_prefix="mid_block.attentions.0",
             dtype=self.dtype,
             name="mid_attentions_0",
@@ -480,6 +560,8 @@ class UNet2DConditionModel(nn.Module):
 
         # ---- up
         rev_channels = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(heads_per_block))
+        rev_depths = list(reversed(depths))
         for bi, btype in enumerate(cfg.up_block_types):
             out_ch = rev_channels[bi]
             is_final = bi == len(cfg.up_block_types) - 1
@@ -497,10 +579,12 @@ class UNet2DConditionModel(nn.Module):
                 )(h, temb)
                 if btype == "CrossAttnUpBlock2D":
                     h = Transformer2DModel(
-                        heads,
-                        out_ch // heads,
+                        rev_heads[bi],
+                        out_ch // rev_heads[bi],
                         cfg.cross_attention_dim,
+                        depth=rev_depths[bi],
                         groups=cfg.norm_num_groups,
+                        use_linear_projection=cfg.use_linear_projection,
                         proc_prefix=f"up_blocks.{bi}.attentions.{li}",
                         dtype=self.dtype,
                         name=f"up_blocks_{bi}_attentions_{li}",
@@ -519,28 +603,44 @@ class UNet2DConditionModel(nn.Module):
 # ------------------------------------------------------------------ processor inventory
 
 
+def _transformer_depths(config: UNetConfig) -> Tuple[int, ...]:
+    d = config.transformer_layers_per_block
+    if isinstance(d, (tuple, list)):
+        return tuple(d)
+    return (d,) * len(config.block_out_channels)
+
+
 def attention_processor_names(config: UNetConfig = UNetConfig()) -> List[str]:
     """Diffusers-style processor names in `unet.attn_processors` enumeration order
     (down blocks, mid, up blocks; attn1 then attn2 per transformer block). This is the
     order the reference iterates when installing ControlLoRA layers
-    (reference train_text_to_image_control_lora.py:471-487)."""
+    (reference train_text_to_image_control_lora.py:471-487). Per-block transformer
+    depth (SDXL transformer_layers_per_block) enumerates the inner
+    transformer_blocks.{ti} loop at each attention module."""
+    depths = _transformer_depths(config)
     names = []
     for bi, btype in enumerate(config.down_block_types):
         if btype == "CrossAttnDownBlock2D":
             for li in range(config.layers_per_block):
-                for a in ("attn1", "attn2"):
-                    names.append(
-                        f"down_blocks.{bi}.attentions.{li}.transformer_blocks.0.{a}.processor"
-                    )
-    for a in ("attn1", "attn2"):
-        names.append(f"mid_block.attentions.0.transformer_blocks.0.{a}.processor")
+                for ti in range(depths[bi]):
+                    for a in ("attn1", "attn2"):
+                        names.append(
+                            f"down_blocks.{bi}.attentions.{li}"
+                            f".transformer_blocks.{ti}.{a}.processor"
+                        )
+    for ti in range(depths[-1]):
+        for a in ("attn1", "attn2"):
+            names.append(f"mid_block.attentions.0.transformer_blocks.{ti}.{a}.processor")
+    rev_depths = list(reversed(depths))
     for bi, btype in enumerate(config.up_block_types):
         if btype == "CrossAttnUpBlock2D":
             for li in range(config.layers_per_block + 1):
-                for a in ("attn1", "attn2"):
-                    names.append(
-                        f"up_blocks.{bi}.attentions.{li}.transformer_blocks.0.{a}.processor"
-                    )
+                for ti in range(rev_depths[bi]):
+                    for a in ("attn1", "attn2"):
+                        names.append(
+                            f"up_blocks.{bi}.attentions.{li}"
+                            f".transformer_blocks.{ti}.{a}.processor"
+                        )
     return names
 
 

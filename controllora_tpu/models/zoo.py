@@ -16,7 +16,11 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from controllora_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+from controllora_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPTextModel,
+    DualCLIPTextEncoder,
+)
 from controllora_tpu.models.unet import UNet2DConditionModel, UNetConfig
 from controllora_tpu.models.vae import AutoencoderKL, VAEConfig
 from controllora_tpu.utils.torch_compat import (
@@ -34,6 +38,81 @@ SMOKE_VAE = VAEConfig(block_out_channels=(16, 16, 32, 32), layers_per_block=1,
                       norm_num_groups=8)
 SMOKE_CLIP = CLIPTextConfig(vocab_size=49408, hidden_size=768, num_layers=2, num_heads=8,
                             intermediate_size=1536)
+
+# SD2.1 architecture (stabilityai/stable-diffusion-2-1 {unet,text_encoder}/config.json):
+# per-block head counts with dim_head 64 everywhere, Linear transformer
+# projections, OpenCLIP ViT-H text tower (hidden 1024, 23 layers as shipped —
+# the checkpoint is already truncated to the penultimate layer), gelu MLPs.
+# v-prediction is a scheduler/trainer setting (--prediction_type v_prediction),
+# not an architecture field.
+SD21_UNET = UNetConfig(
+    sample_size=96,
+    cross_attention_dim=1024,
+    attention_head_dim=(5, 10, 20, 20),
+    use_linear_projection=True,
+)
+SD21_CLIP = CLIPTextConfig(
+    vocab_size=49408, hidden_size=1024, num_layers=23, num_heads=16,
+    intermediate_size=4096, hidden_act="gelu",
+)
+
+# SD2-shaped smoke variant: exercises per-block heads + linear projections +
+# gelu text MLPs at toy widths (dim_head 16 at every level, like SD2's uniform 64)
+SMOKE2_UNET = UNetConfig(
+    block_out_channels=(32, 64, 96, 96), layers_per_block=1,
+    attention_head_dim=(2, 4, 6, 6), use_linear_projection=True,
+    cross_attention_dim=96,
+)
+SMOKE2_CLIP = CLIPTextConfig(vocab_size=49408, hidden_size=96, num_layers=2,
+                             num_heads=4, intermediate_size=192, hidden_act="gelu")
+
+# SDXL-base architecture (stabilityai/stable-diffusion-xl-base-1.0
+# {unet,text_encoder,text_encoder_2,vae}/config.json): 3 resolution levels,
+# no attention on the first, per-block transformer depth (1,2,10), dim_head 64
+# on the attention levels, Linear transformer projections, dual text towers
+# (CLIP ViT-L 768 + OpenCLIP ViT-bigG 1280 → 2048-d context, both penultimate),
+# and "text_time" micro-conditioning (pooled 1280 + 6×256 size ids → 2816).
+SDXL_UNET = UNetConfig(
+    sample_size=128,
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
+    block_out_channels=(320, 640, 1280),
+    transformer_layers_per_block=(1, 2, 10),
+    attention_head_dim=(5, 10, 20),
+    cross_attention_dim=2048,
+    use_linear_projection=True,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=256,
+    projection_class_embeddings_input_dim=2816,
+)
+SDXL_CLIP1 = CLIPTextConfig(penultimate=True)  # ViT-L tower, context only
+SDXL_CLIP2 = CLIPTextConfig(
+    hidden_size=1280, num_layers=32, num_heads=20, intermediate_size=5120,
+    hidden_act="gelu", penultimate=True, projection_dim=1280,
+)
+SDXL_VAE = VAEConfig(scaling_factor=0.13025)
+
+# SDXL-shaped smoke variant: 3 levels, attention-free level 0, depth (1,1,2),
+# dual 32-d towers (context 64), text_time with 8-d size embeddings
+SMOKEXL_UNET = UNetConfig(
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
+    block_out_channels=(32, 64, 96),
+    layers_per_block=1,
+    transformer_layers_per_block=(1, 1, 2),
+    attention_head_dim=(2, 4, 6),
+    cross_attention_dim=64,
+    use_linear_projection=True,
+    norm_num_groups=16,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=32 + 6 * 8,
+)
+SMOKEXL_CLIP1 = CLIPTextConfig(vocab_size=49408, hidden_size=32, num_layers=2,
+                               num_heads=2, intermediate_size=64, penultimate=True)
+SMOKEXL_CLIP2 = CLIPTextConfig(vocab_size=49408, hidden_size=32, num_layers=2,
+                               num_heads=2, intermediate_size=64, hidden_act="gelu",
+                               penultimate=True, projection_dim=32)
 
 
 @dataclasses.dataclass
@@ -58,11 +137,35 @@ def build_models(variant: str = "sd15", dtype=jnp.bfloat16):
             AutoencoderKL(VAEConfig(), dtype=dtype),
             CLIPTextModel(CLIPTextConfig(), dtype=dtype),
         )
+    if variant == "sd21":
+        return (
+            UNet2DConditionModel(SD21_UNET, dtype=dtype),
+            AutoencoderKL(VAEConfig(), dtype=dtype),
+            CLIPTextModel(SD21_CLIP, dtype=dtype),
+        )
     if variant == "smoke":
         return (
             UNet2DConditionModel(SMOKE_UNET, dtype=dtype),
             AutoencoderKL(SMOKE_VAE, dtype=dtype),
             CLIPTextModel(SMOKE_CLIP, dtype=dtype),
+        )
+    if variant == "smoke2":
+        return (
+            UNet2DConditionModel(SMOKE2_UNET, dtype=dtype),
+            AutoencoderKL(SMOKE_VAE, dtype=dtype),
+            CLIPTextModel(SMOKE2_CLIP, dtype=dtype),
+        )
+    if variant == "sdxl":
+        return (
+            UNet2DConditionModel(SDXL_UNET, dtype=dtype),
+            AutoencoderKL(SDXL_VAE, dtype=dtype),
+            DualCLIPTextEncoder(SDXL_CLIP1, SDXL_CLIP2, dtype=dtype),
+        )
+    if variant == "smokexl":
+        return (
+            UNet2DConditionModel(SMOKEXL_UNET, dtype=dtype),
+            AutoencoderKL(SMOKE_VAE, dtype=dtype),
+            DualCLIPTextEncoder(SMOKEXL_CLIP1, SMOKEXL_CLIP2, dtype=dtype),
         )
     raise ValueError(f"unknown model variant {variant!r}")
 
@@ -79,13 +182,22 @@ def random_frozen(rng: jax.Array, unet, vae, text_encoder, latent_size: int = 8,
                   param_dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Randomly initialized frozen stack (hermetic smoke runs / benchmarks)."""
     k1, k2, k3 = jax.random.split(rng, 3)
+    is_dual = isinstance(text_encoder, DualCLIPTextEncoder)
+    ctx_dim = text_encoder.context_dim if is_dual else text_encoder.config.hidden_size
+    added = {}
+    if unet.config.addition_embed_type == "text_time":
+        added = dict(
+            added_text_embeds=jnp.zeros((1, text_encoder.pooled_dim)),
+            added_time_ids=jnp.zeros((1, 6)),
+        )
     # jitted inits: one compiled program each instead of hundreds of op dispatches
     # (critical under remote-dispatch TPU runtimes)
     unet_p = jax.jit(unet.init)(
         k1,
         jnp.zeros((1, latent_size, latent_size, unet.config.in_channels)),
         jnp.array([1]),
-        jnp.zeros((1, 77, text_encoder.config.hidden_size)),
+        jnp.zeros((1, 77, ctx_dim)),
+        **added,
     )["params"]
     img = latent_size * 8
     vae_p = jax.jit(vae.init)(k2, jnp.zeros((1, img, img, 3)))["params"]

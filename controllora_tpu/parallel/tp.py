@@ -142,12 +142,15 @@ def tp_bias_specs(biases: Optional[Dict[str, Any]], axis: str = "model"):
 
 def validate_tp(config, tp: int) -> None:
     """Fail fast on configs the head-aligned column sharding cannot split."""
-    heads = config.attention_head_dim
-    if heads % tp:
-        raise ValueError(
-            f"tensor-parallel serving shards attention by whole heads: "
-            f"heads={heads} not divisible by model-axis size {tp}"
-        )
+    hd = config.attention_head_dim
+    per_block = tuple(hd) if isinstance(hd, (tuple, list)) else (
+        (hd,) * len(config.block_out_channels))
+    for heads in per_block:
+        if heads % tp:
+            raise ValueError(
+                f"tensor-parallel serving shards attention by whole heads: "
+                f"heads={heads} not divisible by model-axis size {tp}"
+            )
     for ch in config.block_out_channels:
         if (4 * ch) % tp:  # GEGLU inner = dim * 4
             raise ValueError(

@@ -133,8 +133,10 @@ class StableDiffusionControlLoRAPipeline:
 
     # ------------------------------------------------------------------ text
 
-    def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
-        """-> (2, 77, hidden): [uncond ‖ cond] context for CFG."""
+    def encode_prompt(self, prompt: str, negative_prompt: str = ""):
+        """-> (2, 77, hidden) [uncond ‖ cond] context for CFG; SDXL dual towers
+        additionally return the (2, pooled_dim) pooled pair for text_time
+        micro-conditioning — then the result is a (ctx, pooled) tuple."""
         ids = self.tokenizer([negative_prompt, prompt])
         if not hasattr(self, "_encode_jit"):
             self._encode_jit = jax.jit(
@@ -145,8 +147,17 @@ class StableDiffusionControlLoRAPipeline:
     # ------------------------------------------------------------------ sampling core
 
     def _build_sampler(self, num_inference_steps: int, latent_hw: Tuple[int, int],
-                       use_control: bool):
-        key = (num_inference_steps, latent_hw, use_control)
+                       use_control: bool, start_index: int = 0,
+                       img2img: bool = False, inpaint: bool = False):
+        """`start_index`/`img2img`/`inpaint`: the SDEdit image-to-image mode —
+        the scan runs only grid indices [start_index, num_inference_steps), the
+        incoming `latents` are VAE-encoded init latents that get noised to the
+        start grid point in the scheduler's own frame, and (inpaint) the known
+        region is re-injected at its per-step noise level after every update
+        (diffusers legacy-inpaint semantics). All static — each (strength,
+        mask-ness) combination is its own compiled program."""
+        key = (num_inference_steps, latent_hw, use_control, start_index,
+               img2img, inpaint)
         if key in self._sample_cache:
             return self._sample_cache[key]
 
@@ -161,7 +172,8 @@ class StableDiffusionControlLoRAPipeline:
             ts = tables[0]
             init_state = sch.init_state
             get_sample = lambda s: s.sample
-            step = lambda s, eps, i: sch.step(s, eps, i, num_inference_steps, tables)
+            step = lambda s, eps, i: sch.step(s, eps, i, num_inference_steps,
+                                              tables, first_index=start_index)
         elif isinstance(sch, (DDIMScheduler, PNDMScheduler)):
             ts_np = sch.timesteps(num_inference_steps)
             ts = jnp.asarray(ts_np, jnp.int32)
@@ -189,24 +201,50 @@ class StableDiffusionControlLoRAPipeline:
             ts = tables[0]
             init_state = sch.init_state
             get_sample = lambda s: s.sample
-            step = lambda s, eps, i: sch.step(s, eps, i, num_inference_steps, tables)
+            step = lambda s, eps, i: sch.step(s, eps, i, num_inference_steps,
+                                              tables, first_index=start_index)
         else:
             raise TypeError(f"unsupported scheduler {type(sch).__name__}")
         if model_input is None:
             model_input = lambda s, i: get_sample(s)
 
+        # ---- img2img/inpaint frame adapters: where the init image sits at grid
+        # point i in this scheduler's own state frame (i == N means fully clean)
+        N = num_inference_steps
+        if isinstance(sch, EulerDiscreteScheduler):
+            # VE frame: x_i = x0 + sigma_i * eps; sigmas has length N+1, final 0.
+            # Prepared latents must NOT go through init_state (that multiplies
+            # by sigma_max for the pure-noise txt2img start).
+            noised_init = lambda init, noise, i: init + sigmas[i] * noise
+            prepare_state = lambda init, noise: noised_init(init, noise, start_index)
+            set_sample = lambda s, x: x
+        else:
+            def noised_init(init, noise, i):
+                t = ts[jnp.minimum(i, N - 1)]
+                return jnp.where(
+                    i < N, sch.schedule.add_noise(init, noise, t), init
+                )
+
+            prepare_state = lambda init, noise: init_state(
+                sch.schedule.add_noise(init, noise, ts[start_index])
+                if start_index < N else init
+            )
+            set_sample = ((lambda s, x: x) if isinstance(sch, DDIMScheduler)
+                          else (lambda s, x: s.replace(sample=x)))
+
         cfg_split = self._cfg_split
         tp = self._tp
         unet_mod = self._unet_tp if tp > 1 else self.unet
 
-        def core(unet_params, vae_params, latents, ctx, adapters, guidance_scale,
-                 lora_scale):
+        def core(unet_params, vae_params, latents, ctx, added, adapters,
+                 guidance_scale, lora_scale):
             # frozen weights are jit ARGUMENTS — closure capture would embed them as
             # multi-GB HLO constants and cripple (remote) compilation.
             # ctx arrives as the (2, 77, hidden) [uncond ‖ cond] pair and is repeated
             # to the (local) batch HERE — so that under shard_map each device builds
             # its own CFG context and the global [uncond*n ‖ cond*n] layout never has
-            # to shard across devices.
+            # to shard across devices. `added` is the SDXL text_time pair
+            # ((2, pooled_dim), (2, 6)) or None; it follows ctx's CFG layout.
             n = latents.shape[0]
             if cfg_split:
                 # Each 'cfg' rank evaluates ONE guidance branch on the full local
@@ -219,10 +257,32 @@ class StableDiffusionControlLoRAPipeline:
                 ctx_i = jax.lax.dynamic_index_in_dim(ctx, rank, 0, keepdims=False)
                 ctx_n = jnp.broadcast_to(ctx_i[None], (n,) + ctx.shape[1:])
                 cfg_w = jnp.where(rank == 0, 1.0 - guidance_scale, guidance_scale)
+                added_n = None
+                if added is not None:
+                    added_n = tuple(
+                        jnp.broadcast_to(
+                            jax.lax.dynamic_index_in_dim(a, rank, 0, keepdims=False
+                                                         )[None],
+                            (n,) + a.shape[1:],
+                        )
+                        for a in added
+                    )
             else:
-                ctx_n = ctx if n == 1 else jnp.concatenate(
-                    [jnp.repeat(ctx[:1], n, 0), jnp.repeat(ctx[1:], n, 0)], axis=0
-                )
+                def cfg_pair(a, m):
+                    return a if m == 1 else jnp.concatenate(
+                        [jnp.repeat(a[:1], m, 0), jnp.repeat(a[1:], m, 0)], axis=0
+                    )
+
+                ctx_n = cfg_pair(ctx, n)
+                added_n = (None if added is None
+                           else tuple(cfg_pair(a, n) for a in added))
+
+            def added_kwargs(m):
+                # added_n already carries ctx_n's CFG batch layout
+                if added_n is None:
+                    return {}
+                return dict(added_text_embeds=added_n[0], added_time_ids=added_n[1])
+
             state = init_state(latents)
 
             def body(state, i):
@@ -230,7 +290,8 @@ class StableDiffusionControlLoRAPipeline:
                 if cfg_split:
                     t = jnp.broadcast_to(ts[i], (n,))
                     eps = unet_mod.apply(
-                        {"params": unet_params}, lat, t, ctx_n, adapters, lora_scale
+                        {"params": unet_params}, lat, t, ctx_n, adapters, lora_scale,
+                        **added_kwargs(n),
                     )
                     eps_g = jax.lax.psum(
                         eps.astype(jnp.float32) * cfg_w.astype(jnp.float32), "cfg"
@@ -239,7 +300,8 @@ class StableDiffusionControlLoRAPipeline:
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 t = jnp.broadcast_to(ts[i], (lat2.shape[0],))
                 eps = unet_mod.apply(
-                    {"params": unet_params}, lat2, t, ctx_n, adapters, lora_scale
+                    {"params": unet_params}, lat2, t, ctx_n, adapters, lora_scale,
+                    **added_kwargs(lat2.shape[0]),
                 )
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps_g = eps_u + guidance_scale * (eps_c - eps_u)
@@ -252,7 +314,7 @@ class StableDiffusionControlLoRAPipeline:
 
             return decode_per_image(self.vae, vae_params, get_sample(state))
 
-        def sample_fn(unet_params, vae_params, latents, ctx, adapters,
+        def sample_fn(unet_params, vae_params, latents, ctx, added, adapters,
                       guidance_scale, lora_scale, fold):
             if fold and adapters:
                 # collapse the whole adapter stack into the kernels + per-position
@@ -261,14 +323,14 @@ class StableDiffusionControlLoRAPipeline:
 
                 unet_params, adapters = fold_adapters(unet_params, adapters,
                                                       lora_scale)
-            return core(unet_params, vae_params, latents, ctx, adapters,
+            return core(unet_params, vae_params, latents, ctx, added, adapters,
                         guidance_scale, lora_scale)
 
         if self.mesh is not None and tp > 1:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            def sharded(unet_params, vae_params, latents, ctx, adapters,
+            def sharded(unet_params, vae_params, latents, ctx, added, adapters,
                         guidance_scale, lora_scale, fold):
                 # Tensor-parallel serving: adapters fold at GLOBAL level (the
                 # folded kernels then shard like the base ones), the param tree
@@ -293,11 +355,11 @@ class StableDiffusionControlLoRAPipeline:
                     core,
                     mesh=self.mesh,
                     in_specs=(tp_param_specs(unet_params), P(), P("data"), P(),
-                              tp_bias_specs(adapters), P(), P()),
+                              P(), tp_bias_specs(adapters), P(), P()),
                     out_specs=P("data"),
                     check_vma=False,
                 )
-                return f(unet_params, vae_params, latents, ctx, adapters,
+                return f(unet_params, vae_params, latents, ctx, added, adapters,
                          guidance_scale, lora_scale)
 
             jitted = jax.jit(sharded, static_argnames=("fold",))
@@ -307,7 +369,7 @@ class StableDiffusionControlLoRAPipeline:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            def sharded(unet_params, vae_params, latents, ctx, adapters,
+            def sharded(unet_params, vae_params, latents, ctx, added, adapters,
                         guidance_scale, lora_scale, fold):
                 # Each device runs the sampler on its batch slice; weights,
                 # context pair, scales, and (batch-1) control states replicate.
@@ -318,11 +380,11 @@ class StableDiffusionControlLoRAPipeline:
                 f = shard_map(
                     partial(sample_fn, fold=fold),
                     mesh=self.mesh,
-                    in_specs=(P(), P(), P("data"), P(), P(), P(), P()),
+                    in_specs=(P(), P(), P("data"), P(), P(), P(), P(), P()),
                     out_specs=P("data"),
                     check_vma=False,
                 )
-                return f(unet_params, vae_params, latents, ctx, adapters,
+                return f(unet_params, vae_params, latents, ctx, added, adapters,
                          guidance_scale, lora_scale)
 
             jitted = jax.jit(sharded, static_argnames=("fold",))
@@ -369,7 +431,26 @@ class StableDiffusionControlLoRAPipeline:
         width = width or 512
         lh, lw = height // 8, width // 8
 
-        ctx = self.encode_prompt(prompt, negative_prompt)
+        encoded = self.encode_prompt(prompt, negative_prompt)
+        added = None
+        if isinstance(encoded, tuple):
+            ctx, pooled = encoded
+        else:
+            ctx, pooled = encoded, None
+        if self.unet.config.addition_embed_type == "text_time":
+            # SDXL micro-conditioning: (orig_h, orig_w, crop_top, crop_left,
+            # target_h, target_w) — no crop/rescale in this pipeline, so original
+            # == target == render size (diffusers _get_add_time_ids defaults)
+            if pooled is None:
+                raise ValueError(
+                    "this UNet needs text_time micro-conditioning; build the stack "
+                    "with the dual text encoder (zoo.build_models('sdxl'))"
+                )
+            tids = jnp.tile(
+                jnp.array([[height, width, 0, 0, height, width]], jnp.float32),
+                (2, 1),
+            )
+            added = (pooled, tids)
 
         adapters = None
         if guide is not None and self.control_lora is not None:
@@ -429,7 +510,7 @@ class StableDiffusionControlLoRAPipeline:
                     "multi-control composition) cannot fold — serve those on a "
                     "('data', 'cfg') mesh instead"
                 )
-        img = sampler(lat0, ctx, adapters, jnp.float32(guidance_scale),
+        img = sampler(lat0, ctx, added, adapters, jnp.float32(guidance_scale),
                       jnp.float32(lora_scale), foldable)
         img = np.asarray(jax.device_get(img), np.float32)
         images = []

@@ -73,8 +73,14 @@ class DPMSolverMultistepScheduler:
         step_index: jnp.ndarray,
         num_inference_steps: int,
         tables=None,
+        first_index: int = 0,
     ) -> DPMSolverState:
-        """One multistep update. ``step_index`` is a scalar int array in [0, steps)."""
+        """One multistep update. ``step_index`` is a scalar int array in [0, steps).
+
+        ``first_index``: the first grid index this trajectory actually executes —
+        0 for full sampling, >0 when img2img starts mid-schedule (the order-1
+        warm-up then happens at the first executed step, where no prev_x0
+        history exists yet)."""
         ts, alpha, sigma, lam = tables if tables is not None else self.tables(
             num_inference_steps
         )
@@ -103,7 +109,7 @@ class DPMSolverMultistepScheduler:
             - 0.5 * a_t * (jnp.exp(-h) - 1.0) * d1
         )
 
-        use_first = i == 0
+        use_first = i == first_index
         if self.lower_order_final and num_inference_steps < 15:
             use_first = jnp.logical_or(use_first, i == num_inference_steps - 1)
         new_sample = jnp.where(use_first, first, second)

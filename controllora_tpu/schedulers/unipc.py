@@ -117,10 +117,15 @@ class UniPCMultistepScheduler:
         step_index: jnp.ndarray,
         num_inference_steps: int,
         tables=None,
+        first_index: int = 0,
     ) -> UniPCState:
         """One UniC (correct the arrival at the current point) + UniP (predict the
         next point) update. ``model_output`` is the raw UNet output evaluated on
-        ``state.sample`` at grid point ``step_index``."""
+        ``state.sample`` at grid point ``step_index``.
+
+        ``first_index``: the first grid index this trajectory executes (>0 for
+        img2img starting mid-schedule) — no corrector and an order-1 predictor
+        there, since no model-output history exists yet."""
         ts, ratio, A, r1, rc1, rc2 = (
             tables if tables is not None else self.tables(num_inference_steps)
         )
@@ -136,14 +141,14 @@ class UniPCMultistepScheduler:
             - A[j] * state.m0
             - A[j] * (rc1[j] * d1c + rc2[j] * (m_t - state.m0))
         )
-        x_c = jnp.where(i == 0, state.sample, corr)
+        x_c = jnp.where(i == first_index, state.sample, corr)
 
         # ---- predictor: transition i -> i+1 (2M-midpoint form; order drops to 1
         # on the first step and, under lower_order_final, on the last step)
         d1p = (state.m0 - m_t) / jnp.where(r1[i] == 0, 1.0, r1[i])
         first = ratio[i] * x_c - A[i] * m_t
         second = first - A[i] * 0.5 * d1p
-        use_first = i == 0
+        use_first = i == first_index
         if self.solver_order == 1:
             use_first = jnp.full_like(use_first, True)
         elif self.lower_order_final:

@@ -79,10 +79,32 @@ class DreamBoothLoRATrainer:
         noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
         t = jax.random.randint(rng_t, (b,), 0, sch.schedule.num_train_timesteps)
         noisy = sch.add_noise(latents, noise, t)
+        added_kwargs = {}
+        pooled = None
         if "encoder_hidden_states" in batch:
             ctx = batch["encoder_hidden_states"]
+            pooled = batch.get("pooled_text_embeds")
         else:
             ctx = self.text_encoder.apply({"params": frozen["text"]}, batch["input_ids"])
+            if isinstance(ctx, tuple):  # SDXL dual tower -> (context, pooled)
+                ctx, pooled = ctx
+        if self.unet.config.addition_embed_type == "text_time":
+            # SDXL micro-conditioning; original == target == training resolution
+            # (square center pipeline, no crop drift) unless the batch provides ids
+            if pooled is None:
+                raise ValueError(
+                    "text_time UNet: provide a dual text encoder (input_ids path) "
+                    "or pooled_text_embeds alongside encoder_hidden_states"
+                )
+            if "time_ids" in batch:
+                tids = batch["time_ids"].astype(jnp.float32)
+            else:
+                res_h, res_w = latents.shape[1] * 8, latents.shape[2] * 8
+                tids = jnp.tile(
+                    jnp.array([[res_h, res_w, 0, 0, res_h, res_w]], jnp.float32),
+                    (b, 1),
+                )
+            added_kwargs = dict(added_text_embeds=pooled, added_time_ids=tids)
 
         adapters = self._adapters_from(params)
         unet_apply = self.unet.apply
@@ -90,7 +112,8 @@ class DreamBoothLoRATrainer:
             unet_apply = jax.checkpoint(
                 self.unet.apply, policy=jax.checkpoint_policies.nothing_saveable
             )
-        pred = unet_apply({"params": frozen["unet"]}, noisy, t, ctx, adapters)
+        pred = unet_apply({"params": frozen["unet"]}, noisy, t, ctx, adapters,
+                          **added_kwargs)
         target = sch.training_target(latents, noise, t)
 
         if self.with_prior_preservation:

@@ -91,6 +91,11 @@ def translate_unet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             name = f"time_embedding_{parts[1]}"
             _set(tree, (name, "kernel" if leaf == "weight" else "bias"),
                  w.T if leaf == "weight" else w)
+        elif key.startswith("add_embedding."):
+            # SDXL text_time micro-conditioning MLP (add_embedding.linear_{1,2})
+            name = f"add_embedding_{parts[1]}"
+            _set(tree, (name, "kernel" if leaf == "weight" else "bias"),
+                 w.T if leaf == "weight" else w)
         elif key.startswith("conv_norm_out."):
             _insert_norm(tree, ("conv_norm_out",), leaf, w)
         elif parts[0] in ("down_blocks", "up_blocks", "mid_block"):
@@ -128,8 +133,11 @@ def _translate_unet_block(tree, base: str, rest, w: np.ndarray):
     elif body and body[0] == "norm":  # transformer2d groupnorm
         _insert_norm(tree, path + ("norm",), leaf, w)
     elif body and body[0] in ("conv1", "conv2", "conv_shortcut", "proj_in", "proj_out"):
-        _set(tree, path + (body[0], "kernel" if leaf == "weight" else "bias"),
-             _conv_kernel(w) if leaf == "weight" else w)
+        # SD2.x stores proj_in/proj_out as Linear (2-D weights,
+        # use_linear_projection); SD1.x as 1x1 convs (4-D)
+        if leaf == "weight":
+            w = _conv_kernel(w) if w.ndim == 4 else w.T
+        _set(tree, path + (body[0], "kernel" if leaf == "weight" else "bias"), w)
     elif body and body[0] == "time_emb_proj":
         _set(tree, path + ("time_emb_proj", "kernel" if leaf == "weight" else "bias"),
              w.T if leaf == "weight" else w)
@@ -268,6 +276,10 @@ def translate_clip_text(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
                 raise KeyError(key)
         elif parts[0] == "position_ids" or key == "embeddings.position_ids":
             continue
+        elif parts[0] == "text_projection":
+            # CLIPTextModelWithProjection pooled head (SDXL text_encoder_2);
+            # bias-free Linear
+            _set(tree, ("text_projection", "kernel"), w.T)
         else:
             raise KeyError(f"unrecognized CLIP key: {key}")
     return tree
@@ -396,8 +408,10 @@ def flax_to_torch_unet(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
 
     def export_transformer(prefix, node):
         _export_norm(sd, f"{prefix}.norm", node["norm"])
-        _export_conv(sd, f"{prefix}.proj_in", node["proj_in"])
-        _export_conv(sd, f"{prefix}.proj_out", node["proj_out"])
+        for proj in ("proj_in", "proj_out"):
+            # 2-D kernel = SD2.x Linear projection, 4-D = SD1.x 1x1 conv
+            (_export_linear if np.asarray(node[proj]["kernel"]).ndim == 2
+             else _export_conv)(sd, f"{prefix}.{proj}", node[proj])
         for name, child in node.items():
             if name.startswith("transformer_blocks_"):
                 ti = name.split("_")[-1]
@@ -426,6 +440,8 @@ def flax_to_torch_unet(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
             _export_norm(sd, name, node)
         elif name.startswith("time_embedding_"):
             _export_linear(sd, f"time_embedding.{name[len('time_embedding_'):]}", node)
+        elif name.startswith("add_embedding_"):
+            _export_linear(sd, f"add_embedding.{name[len('add_embedding_'):]}", node)
         else:
             tname = _torch_block_name(name)
             if tname is None:
@@ -507,6 +523,9 @@ def flax_to_torch_clip(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
         _export_linear_plain(sd, f"{p}.mlp.fc2", node["fc2"])
     sd["text_model.final_layer_norm.weight"] = np.asarray(params["final_layer_norm"]["scale"])
     sd["text_model.final_layer_norm.bias"] = np.asarray(params["final_layer_norm"]["bias"])
+    if "text_projection" in params:
+        # pooled head lives OUTSIDE text_model in the transformers layout
+        sd["text_projection.weight"] = np.asarray(params["text_projection"]["kernel"]).T
     return sd
 
 

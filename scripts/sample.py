@@ -19,7 +19,8 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
-    p.add_argument("--model_variant", type=str, default="sd15", choices=["sd15", "smoke"])
+    p.add_argument("--model_variant", type=str, default="sd15",
+                   choices=["sd15", "sd21", "sdxl", "smoke", "smoke2", "smokexl"])
     p.add_argument("--control_lora_dir", type=str, default=None,
                    help="directory with config.json + diffusion_pytorch_model.safetensors")
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
@@ -43,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--scheduler", type=str, default="dpm++",
                    choices=["dpm++", "ddim", "pndm", "euler", "unipc"])
     p.add_argument("--guidance_scale", type=float, default=9.0)
+    p.add_argument("--prediction_type", type=str, default="epsilon",
+                   choices=["epsilon", "v_prediction"],
+                   help="v_prediction for SD2.x-style checkpoints")
     p.add_argument("--serving_mesh", type=str, default=None,
                    help="multi-chip serving axes, e.g. 'data' (shard the image "
                         "batch), 'cfg' (split the guidance pair, halves batch-1 "
@@ -108,7 +112,7 @@ def main(argv=None):
     from controllora_tpu.pipelines import StableDiffusionControlLoRAPipeline
     from controllora_tpu.training.checkpoint import load_control_lora
 
-    dtype = jnp.bfloat16 if args.model_variant == "sd15" else jnp.float32
+    dtype = jnp.bfloat16 if args.model_variant in ("sd15", "sd21", "sdxl") else jnp.float32
     unet, vae, text_encoder = zoo.build_models(args.model_variant, dtype=dtype)
     rng = jax.random.PRNGKey(args.seed)
     if args.pretrained_model_name_or_path:
@@ -150,7 +154,7 @@ def main(argv=None):
 
             save_control_lora(args.control_lora_dir, control_params, ccfg)
             print(f"re-saved final artifact to {args.control_lora_dir}")
-        if (args.model_variant == "smoke"
+        if (args.model_variant.startswith("smoke")
                 and ccfg.lora_block_out_channels != unet.config.block_out_channels):
             raise SystemExit("checkpoint was not trained against the smoke UNet")
         control_lora = ControlLoRA(ccfg, dtype=dtype)  # bf16 inference hint encoding
@@ -197,9 +201,12 @@ def main(argv=None):
         PNDMScheduler, UniPCMultistepScheduler,
     )
 
+    from controllora_tpu.schedulers.common import DiffusionSchedule
+
+    schedule = DiffusionSchedule.create(prediction_type=args.prediction_type)
     scheduler = {"dpm++": DPMSolverMultistepScheduler, "ddim": DDIMScheduler,
                  "pndm": PNDMScheduler, "euler": EulerDiscreteScheduler,
-                 "unipc": UniPCMultistepScheduler}[args.scheduler]()
+                 "unipc": UniPCMultistepScheduler}[args.scheduler](schedule)
     mesh = build_serving_mesh(args.serving_mesh)
     if mesh is not None:
         print(f"serving mesh: {dict(mesh.shape)}")

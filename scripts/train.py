@@ -30,7 +30,8 @@ def parse_args(argv=None):
     # model
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None,
                    help="local diffusers-layout dir with unet/vae/text_encoder weights")
-    p.add_argument("--model_variant", type=str, default="sd15", choices=["sd15", "smoke"])
+    p.add_argument("--model_variant", type=str, default="sd15",
+                   choices=["sd15", "sd21", "sdxl", "smoke", "smoke2", "smokexl"])
     p.add_argument("--control_lora_config", type=str, default="base",
                    help="preset name or reference-format JSON path")
     p.add_argument("--mixed_precision", type=str, default="bf16",
@@ -157,7 +158,24 @@ def main(argv=None):
               "(hermetic smoke mode)")
 
     ccfg = load_config(args.control_lora_config)
-    if args.model_variant == "smoke":
+    if args.model_variant in ("sd21", "sdxl"):
+        # the reference configs hand-list SD1.5's bucket layout (768 cross dims,
+        # 4 levels); re-derive for the chosen UNet family — SD2.1: 1024-d context,
+        # same 32-processor layout; SDXL: 3 levels (level 0 adapter-free),
+        # 2048-d context, depth-weighted 140-processor layout
+        import dataclasses as _dc
+
+        from controllora_tpu.models.unet import derive_cross_attention_dims
+
+        n_lvl = len(unet.config.block_out_channels)
+        ccfg = _dc.replace(
+            ccfg,
+            lora_block_out_channels=unet.config.block_out_channels,
+            lora_block_in_channels=ccfg.lora_block_in_channels[:n_lvl],
+            lora_control_channels=ccfg.lora_control_channels[:n_lvl],
+            lora_cross_attention_dims=derive_cross_attention_dims(unet.config),
+        )
+    if args.model_variant.startswith("smoke"):
         from controllora_tpu.config import ControlLoRAConfig
         from controllora_tpu.models.unet import derive_cross_attention_dims
 

@@ -36,7 +36,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     # model
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
-    p.add_argument("--model_variant", type=str, default="sd15", choices=["sd15", "smoke"])
+    p.add_argument("--model_variant", type=str, default="sd15",
+                   choices=["sd15", "sd21", "sdxl", "smoke", "smoke2", "smokexl"])
     p.add_argument("--lora_rank", type=int, default=4)
     p.add_argument("--mixed_precision", type=str, default="bf16", choices=["no", "bf16"])
     # data
