@@ -144,20 +144,37 @@ class StableDiffusionControlLoRAPipeline:
             )
         return self._encode_jit(self.frozen["text"], jnp.asarray(ids))
 
+    # ------------------------------------------------------------------ image
+
+    def _encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) in [-1, 1] -> scaled init latents (B, H/8, W/8, 4).
+
+        Deterministic posterior-mode encoding (rng-free): img2img reproducibility
+        then rests entirely on the sampler rng, and the strength→0 limit is the
+        exact VAE round trip."""
+        if not hasattr(self, "_encode_image_jit"):
+            self._encode_image_jit = jax.jit(
+                lambda p, x: self.vae.apply({"params": p}, x, method=self.vae.encode)
+            )
+        return self._encode_image_jit(self.frozen["vae"], images)
+
     # ------------------------------------------------------------------ sampling core
 
     def _build_sampler(self, num_inference_steps: int, latent_hw: Tuple[int, int],
                        use_control: bool, start_index: int = 0,
-                       img2img: bool = False, inpaint: bool = False):
+                       img2img: bool = False, inpaint: bool = False,
+                       decode: bool = True):
         """`start_index`/`img2img`/`inpaint`: the SDEdit image-to-image mode —
         the scan runs only grid indices [start_index, num_inference_steps), the
         incoming `latents` are VAE-encoded init latents that get noised to the
         start grid point in the scheduler's own frame, and (inpaint) the known
         region is re-injected at its per-step noise level after every update
         (diffusers legacy-inpaint semantics). All static — each (strength,
-        mask-ness) combination is its own compiled program."""
+        mask-ness) combination is its own compiled program. `decode=False`
+        skips the VAE and returns the final latents (latent hand-off for
+        refiner/upscaler chains, and latent-exactness tests)."""
         key = (num_inference_steps, latent_hw, use_control, start_index,
-               img2img, inpaint)
+               img2img, inpaint, decode)
         if key in self._sample_cache:
             return self._sample_cache[key]
 
@@ -236,7 +253,7 @@ class StableDiffusionControlLoRAPipeline:
         tp = self._tp
         unet_mod = self._unet_tp if tp > 1 else self.unet
 
-        def core(unet_params, vae_params, latents, ctx, added, adapters,
+        def core(unet_params, vae_params, latents, ctx, added, paint, adapters,
                  guidance_scale, lora_scale):
             # frozen weights are jit ARGUMENTS — closure capture would embed them as
             # multi-GB HLO constants and cripple (remote) compilation.
@@ -283,7 +300,25 @@ class StableDiffusionControlLoRAPipeline:
                     return {}
                 return dict(added_text_embeds=added_n[0], added_time_ids=added_n[1])
 
-            state = init_state(latents)
+            if img2img:
+                # `latents` are the VAE-encoded init latents; noise them to the
+                # start grid point in the scheduler's own frame (paint[0] is the
+                # per-image Gaussian noise — kept for inpaint re-injection too)
+                state = prepare_state(latents, paint[0])
+            else:
+                state = init_state(latents)
+
+            def tail(state, eps_g, i):
+                new_state = step(state, eps_g, i)
+                if inpaint:
+                    # diffusers legacy-inpaint: after each update, re-inject the
+                    # known region at its own noise level for the NEXT grid point
+                    # (i+1 == N -> the clean init, so the final composite is free)
+                    cur = get_sample(new_state)
+                    tgt = noised_init(latents, paint[0], i + 1)
+                    m = paint[1]
+                    new_state = set_sample(new_state, m * cur + (1.0 - m) * tgt)
+                return new_state
 
             def body(state, i):
                 lat = model_input(state, i)
@@ -296,7 +331,7 @@ class StableDiffusionControlLoRAPipeline:
                     eps_g = jax.lax.psum(
                         eps.astype(jnp.float32) * cfg_w.astype(jnp.float32), "cfg"
                     )
-                    return step(state, eps_g, i), None
+                    return tail(state, eps_g, i), None
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 t = jnp.broadcast_to(ts[i], (lat2.shape[0],))
                 eps = unet_mod.apply(
@@ -305,17 +340,21 @@ class StableDiffusionControlLoRAPipeline:
                 )
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps_g = eps_u + guidance_scale * (eps_c - eps_u)
-                return step(state, eps_g, i), None
+                return tail(state, eps_g, i), None
 
-            state, _ = jax.lax.scan(body, state, jnp.arange(num_inference_steps))
+            state, _ = jax.lax.scan(
+                body, state, jnp.arange(start_index, num_inference_steps)
+            )
+            if not decode:
+                return get_sample(state)
             # per-image decode: batched 512² decode is 2.4× superlinear on v5e
             # (models/vae.py decode_per_image)
             from controllora_tpu.models.vae import decode_per_image
 
             return decode_per_image(self.vae, vae_params, get_sample(state))
 
-        def sample_fn(unet_params, vae_params, latents, ctx, added, adapters,
-                      guidance_scale, lora_scale, fold):
+        def sample_fn(unet_params, vae_params, latents, ctx, added, paint,
+                      adapters, guidance_scale, lora_scale, fold):
             if fold and adapters:
                 # collapse the whole adapter stack into the kernels + per-position
                 # biases once — the 20-step loop then runs at plain-SD1.5 cost
@@ -323,15 +362,22 @@ class StableDiffusionControlLoRAPipeline:
 
                 unet_params, adapters = fold_adapters(unet_params, adapters,
                                                       lora_scale)
-            return core(unet_params, vae_params, latents, ctx, added, adapters,
-                        guidance_scale, lora_scale)
+            return core(unet_params, vae_params, latents, ctx, added, paint,
+                        adapters, guidance_scale, lora_scale)
+
+        def paint_spec(paint, P):
+            # (noise[, mask]): per-image noise shards with the latents on 'data',
+            # the batch-1 latent mask replicates
+            if paint is None:
+                return P()
+            return (P("data"),) if len(paint) == 1 else (P("data"), P())
 
         if self.mesh is not None and tp > 1:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            def sharded(unet_params, vae_params, latents, ctx, added, adapters,
-                        guidance_scale, lora_scale, fold):
+            def sharded(unet_params, vae_params, latents, ctx, added, paint,
+                        adapters, guidance_scale, lora_scale, fold):
                 # Tensor-parallel serving: adapters fold at GLOBAL level (the
                 # folded kernels then shard like the base ones), the param tree
                 # is prepped (GEGLU column re-blocking, row-bias pre-division)
@@ -355,12 +401,13 @@ class StableDiffusionControlLoRAPipeline:
                     core,
                     mesh=self.mesh,
                     in_specs=(tp_param_specs(unet_params), P(), P("data"), P(),
-                              P(), tp_bias_specs(adapters), P(), P()),
+                              P(), paint_spec(paint, P), tp_bias_specs(adapters),
+                              P(), P()),
                     out_specs=P("data"),
                     check_vma=False,
                 )
-                return f(unet_params, vae_params, latents, ctx, added, adapters,
-                         guidance_scale, lora_scale)
+                return f(unet_params, vae_params, latents, ctx, added, paint,
+                         adapters, guidance_scale, lora_scale)
 
             jitted = jax.jit(sharded, static_argnames=("fold",))
         elif self.mesh is not None:
@@ -369,8 +416,8 @@ class StableDiffusionControlLoRAPipeline:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            def sharded(unet_params, vae_params, latents, ctx, added, adapters,
-                        guidance_scale, lora_scale, fold):
+            def sharded(unet_params, vae_params, latents, ctx, added, paint,
+                        adapters, guidance_scale, lora_scale, fold):
                 # Each device runs the sampler on its batch slice; weights,
                 # context pair, scales, and (batch-1) control states replicate.
                 # Specs never mention 'cfg': latents/scheduler state replicate
@@ -380,12 +427,13 @@ class StableDiffusionControlLoRAPipeline:
                 f = shard_map(
                     partial(sample_fn, fold=fold),
                     mesh=self.mesh,
-                    in_specs=(P(), P(), P("data"), P(), P(), P(), P(), P()),
+                    in_specs=(P(), P(), P("data"), P(), P(),
+                              paint_spec(paint, P), P(), P(), P()),
                     out_specs=P("data"),
                     check_vma=False,
                 )
-                return f(unet_params, vae_params, latents, ctx, added, adapters,
-                         guidance_scale, lora_scale)
+                return f(unet_params, vae_params, latents, ctx, added, paint,
+                         adapters, guidance_scale, lora_scale)
 
             jitted = jax.jit(sharded, static_argnames=("fold",))
         else:
@@ -413,9 +461,25 @@ class StableDiffusionControlLoRAPipeline:
         extra_controls=None,
         extra_controls_where: str = "post",
         latents: Optional[jnp.ndarray] = None,
+        image: Optional[np.ndarray] = None,
+        strength: float = 0.8,
+        mask: Optional[np.ndarray] = None,
         return_array: bool = False,
+        return_latents: bool = False,
     ):
         """Returns a list of HWC uint8 images (or float arrays in [-1,1]).
+
+        `image` + `strength`: image-to-image (SDEdit) — the init image is
+        VAE-encoded (posterior mode), noised to the strength-selected grid
+        point, and only the remaining `int(steps * strength)` denoising steps
+        run. `mask` (H, W) in [0, 1], 1 = repaint (diffusers convention):
+        inpainting — the known region is re-injected at its per-step noise
+        level after every update; soft mask values blend. Both are
+        beyond-reference (the reference apps serve text-to-image only) and
+        compose with guides, extra LoRAs/controls, and every mesh axis.
+
+        `return_latents`: skip the VAE decode and return the final (H/8, W/8, 4)
+        scaled latents per image — latent hand-off for refiner/upscaler chains.
 
         `extra_controls`: optional sequence of (control_lora, params, guide) triples —
         additional ControlLoRAs composed into the same render (multi-condition
@@ -427,9 +491,22 @@ class StableDiffusionControlLoRAPipeline:
             guide = jnp.asarray(guide)[None] if guide.ndim == 3 else jnp.asarray(guide)
             height = height or guide.shape[1]
             width = width or guide.shape[2]
+        if image is not None:
+            image = jnp.asarray(image, jnp.float32)
+            image = image[None] if image.ndim == 3 else image
+            height = height or image.shape[1]
+            width = width or image.shape[2]
         height = height or 512
         width = width or 512
         lh, lw = height // 8, width // 8
+
+        if mask is not None and image is None:
+            raise ValueError("mask (inpainting) requires an init image")
+        if image is not None and latents is not None:
+            raise ValueError(
+                "image and latents are mutually exclusive — img2img derives its "
+                "start latents from the encoded init image"
+            )
 
         encoded = self.encode_prompt(prompt, negative_prompt)
         added = None
@@ -468,7 +545,22 @@ class StableDiffusionControlLoRAPipeline:
                     extra_controls_where,
                 )
 
-        sampler = self._build_sampler(num_inference_steps, (lh, lw), adapters is not None)
+        # img2img start-point: the first int(steps*strength) grid points are
+        # skipped; strength 1 keeps the full schedule (the init image is then
+        # noised all the way to the start of the schedule, diffusers semantics)
+        paint = None
+        start_index = 0
+        if image is not None:
+            s = float(min(max(strength, 0.0), 1.0))
+            start_index = num_inference_steps - min(
+                int(num_inference_steps * s), num_inference_steps
+            )
+
+        sampler = self._build_sampler(
+            num_inference_steps, (lh, lw), adapters is not None,
+            start_index=start_index, img2img=image is not None,
+            inpaint=mask is not None, decode=not return_latents,
+        )
         foldable = bool(adapters) and all(
             s.main is not None and not s.pre and not s.post for s in adapters.values()
         )
@@ -477,7 +569,29 @@ class StableDiffusionControlLoRAPipeline:
         # throughput (docs/BENCHMARKS.md: 2.5 img/s at batch 4 vs 2.06 at batch 1)
         # reaches the apps' multi-sample requests. The CFG layout stays
         # [uncond*n ‖ cond*n]; batch-1 control biases broadcast over it.
-        if latents is not None:
+        if image is not None:
+            init_lat = self._encode_image(image)
+            n = num_images
+            if init_lat.shape[0] == 1 and n > 1:
+                init_lat = jnp.repeat(init_lat, n, axis=0)
+            elif init_lat.shape[0] != n and num_images != 1:
+                raise ValueError(
+                    f"init image batch {init_lat.shape[0]} conflicts with "
+                    f"num_images={num_images}"
+                )
+            n = init_lat.shape[0] if num_images == 1 else n
+            rng, k = jax.random.split(rng)
+            noise = jax.random.normal(k, init_lat.shape, jnp.float32)
+            if mask is not None:
+                m = jnp.asarray(mask, jnp.float32)
+                m = m[..., 0] if m.ndim == 3 else m
+                # soft latent-space mask (area-style resize); 1 = repaint
+                m = jnp.clip(jax.image.resize(m, (lh, lw), "linear"), 0.0, 1.0)
+                paint = (noise, m[None, :, :, None])
+            else:
+                paint = (noise,)
+            lat0 = init_lat
+        elif latents is not None:
             lat0 = latents if latents.ndim == 4 else latents[None]
             n = lat0.shape[0]
             if num_images != 1 and num_images != n:
@@ -510,12 +624,13 @@ class StableDiffusionControlLoRAPipeline:
                     "multi-control composition) cannot fold — serve those on a "
                     "('data', 'cfg') mesh instead"
                 )
-        img = sampler(lat0, ctx, added, adapters, jnp.float32(guidance_scale),
-                      jnp.float32(lora_scale), foldable)
+        img = sampler(lat0, ctx, added, paint, adapters,
+                      jnp.float32(guidance_scale), jnp.float32(lora_scale),
+                      foldable)
         img = np.asarray(jax.device_get(img), np.float32)
         images = []
         for i in range(img.shape[0]):
-            if return_array:
+            if return_latents or return_array:
                 images.append(img[i])
             else:
                 images.append(

@@ -44,6 +44,14 @@ def parse_args(argv=None):
     p.add_argument("--scheduler", type=str, default="dpm++",
                    choices=["dpm++", "ddim", "pndm", "euler", "unipc"])
     p.add_argument("--guidance_scale", type=float, default=9.0)
+    p.add_argument("--init_image", type=str, default=None,
+                   help="img2img: path to an init image (resized to --resolution)")
+    p.add_argument("--strength", type=float, default=0.8,
+                   help="img2img repaint strength in [0,1]: fraction of the "
+                        "schedule actually run")
+    p.add_argument("--mask_image", type=str, default=None,
+                   help="inpainting: grayscale mask path, white = repaint "
+                        "(requires --init_image)")
     p.add_argument("--prediction_type", type=str, default="epsilon",
                    choices=["epsilon", "v_prediction"],
                    help="v_prediction for SD2.x-style checkpoints")
@@ -218,6 +226,18 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     sample_rng = jax.random.PRNGKey(args.seed)
 
+    # img2img / inpainting inputs (beyond-reference; pipeline docstring)
+    init_image = mask_arr = None
+    if args.init_image:
+        im = Image.open(args.init_image).convert("RGB").resize(
+            (args.resolution, args.resolution), Image.BICUBIC)
+        init_image = np.asarray(im, np.float32) / 127.5 - 1.0
+    if args.mask_image:
+        mm = Image.open(args.mask_image).convert("L").resize(
+            (args.resolution, args.resolution), Image.BICUBIC)
+        mask_arr = np.asarray(mm, np.float32) / 255.0
+    paint_kwargs = dict(image=init_image, strength=args.strength, mask=mask_arr)
+
     if control_lora is None:
         # plain-LoRA sampling (reference test_dreambooth_lora.py:824-888)
         for i in range(args.num_validation_images):
@@ -227,7 +247,7 @@ def main(argv=None):
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.guidance_scale,
                 height=args.resolution, width=args.resolution,
-                rng=k, extra_loras=extra_loras,
+                rng=k, extra_loras=extra_loras, **paint_kwargs,
             )[0]
             Image.fromarray(img).save(os.path.join(args.output_dir, f"{i}.png"))
             print(f"wrote {args.output_dir}/{i}.png")
@@ -248,6 +268,7 @@ def main(argv=None):
             rng=k,
             return_array=True,
             extra_loras=extra_loras,
+            **paint_kwargs,
         )[0]
         montage = DatasetBase.cat_input(item["pixel_values"], item["guide_values"], img)
         Image.fromarray(montage).save(os.path.join(args.output_dir, f"{i}.png"))

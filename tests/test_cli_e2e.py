@@ -281,6 +281,41 @@ def test_sample_serving_mesh_flag(tmp_path):
     assert os.path.exists(os.path.join(odir, "0.png"))
 
 
+@pytest.mark.parametrize("variant", ["smoke2", "smokexl"])
+def test_new_family_train_and_sample_cli(tmp_path, variant):
+    """SD2/SDXL-shaped stacks through the real CLIs: 2 train steps (bucket
+    layout re-derived for the family), then guided sampling from the saved
+    artifact — plus the img2img/inpaint flags on the sample path."""
+    import sample as sample_cli
+    import train as train_cli
+    from PIL import Image
+
+    out = str(tmp_path / "run")
+    train_cli.main([
+        "--model_variant", variant, "--dataset_name", "process/fill50k",
+        "--resolution", "64", "--train_batch_size", "1", "--max_train_steps", "2",
+        "--output_dir", out, "--checkpointing_steps", "0",
+        "--log_every", "1", "--seed", "5",
+    ])
+    init = str(tmp_path / "init.png")
+    Image.fromarray(
+        (np.random.RandomState(0).uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+    ).save(init)
+    maskp = str(tmp_path / "mask.png")
+    m = np.zeros((64, 64), np.uint8)
+    m[:, :32] = 255
+    Image.fromarray(m).save(maskp)
+    odir = str(tmp_path / "s")
+    sample_cli.main([
+        "--model_variant", variant, "--control_lora_dir", out,
+        "--resolution", "64", "--num_inference_steps", "2",
+        "--num_validation_images", "1",
+        "--init_image", init, "--mask_image", maskp, "--strength", "0.7",
+        "--output_dir", odir, "--seed", "6",
+    ])
+    assert os.path.exists(os.path.join(odir, "0.png"))
+
+
 def test_train_kill_resume_and_sample(tmp_path):
     from controllora_tpu.training.checkpoint import load_control_lora
 
