@@ -114,6 +114,47 @@ SMOKEXL_CLIP2 = CLIPTextConfig(vocab_size=49408, hidden_size=32, num_layers=2,
                                num_heads=2, intermediate_size=64, hidden_act="gelu",
                                penultimate=True, projection_dim=32)
 
+# SDXL-refiner architecture (stabilityai/stable-diffusion-xl-refiner-1.0
+# unet/config.json): 4 levels with attention only in the middle two
+# (DownBlock2D bookends), transformer depth 4 everywhere it exists, dim_head 64,
+# cross-attention 1280 from the ViT-bigG tower ALONE, and aesthetic-score
+# micro-conditioning: 5 time ids (orig_h, orig_w, crop_top, crop_left, score)
+# -> 1280 + 5*256 = 2560.
+SDXL_REFINER_UNET = UNetConfig(
+    sample_size=128,
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                      "CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D",
+                    "CrossAttnUpBlock2D", "UpBlock2D"),
+    block_out_channels=(384, 768, 1536, 1536),
+    transformer_layers_per_block=4,
+    attention_head_dim=(6, 12, 24, 24),
+    cross_attention_dim=1280,
+    use_linear_projection=True,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=256,
+    projection_class_embeddings_input_dim=2560,
+)
+
+# refiner-shaped smoke variant: attention-free bookend levels, single
+# projection tower, 5-id text_time conditioning (32 + 5*8 = 72)
+SMOKEREF_UNET = UNetConfig(
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                      "CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D",
+                    "CrossAttnUpBlock2D", "UpBlock2D"),
+    block_out_channels=(32, 64, 96, 96),
+    layers_per_block=1,
+    transformer_layers_per_block=2,
+    attention_head_dim=(2, 4, 6, 6),
+    cross_attention_dim=32,
+    use_linear_projection=True,
+    norm_num_groups=16,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=32 + 5 * 8,
+)
+
 
 @dataclasses.dataclass
 class SDStack:
@@ -167,6 +208,20 @@ def build_models(variant: str = "sd15", dtype=jnp.bfloat16):
             AutoencoderKL(SMOKE_VAE, dtype=dtype),
             DualCLIPTextEncoder(SMOKEXL_CLIP1, SMOKEXL_CLIP2, dtype=dtype),
         )
+    if variant == "sdxl-refiner":
+        # single-tower conditioning: the projection head makes the encoder
+        # return (context, pooled) just like the dual SDXL encoder
+        return (
+            UNet2DConditionModel(SDXL_REFINER_UNET, dtype=dtype),
+            AutoencoderKL(SDXL_VAE, dtype=dtype),
+            CLIPTextModel(SDXL_CLIP2, dtype=dtype),
+        )
+    if variant == "smokeref":
+        return (
+            UNet2DConditionModel(SMOKEREF_UNET, dtype=dtype),
+            AutoencoderKL(SMOKE_VAE, dtype=dtype),
+            CLIPTextModel(SMOKEXL_CLIP2, dtype=dtype),
+        )
     raise ValueError(f"unknown model variant {variant!r}")
 
 
@@ -186,9 +241,15 @@ def random_frozen(rng: jax.Array, unet, vae, text_encoder, latent_size: int = 8,
     ctx_dim = text_encoder.context_dim if is_dual else text_encoder.config.hidden_size
     added = {}
     if unet.config.addition_embed_type == "text_time":
+        pooled_dim = (text_encoder.pooled_dim if is_dual
+                      else text_encoder.config.projection_dim)
+        # id count follows the conditioning width: 6 for SDXL-base size ids,
+        # 5 for the refiner's (orig, crop, aesthetic_score) layout
+        n_ids = ((unet.config.projection_class_embeddings_input_dim - pooled_dim)
+                 // unet.config.addition_time_embed_dim)
         added = dict(
-            added_text_embeds=jnp.zeros((1, text_encoder.pooled_dim)),
-            added_time_ids=jnp.zeros((1, 6)),
+            added_text_embeds=jnp.zeros((1, pooled_dim)),
+            added_time_ids=jnp.zeros((1, n_ids)),
         )
     # jitted inits: one compiled program each instead of hundreds of op dispatches
     # (critical under remote-dispatch TPU runtimes)

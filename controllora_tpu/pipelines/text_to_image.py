@@ -163,7 +163,8 @@ class StableDiffusionControlLoRAPipeline:
     def _build_sampler(self, num_inference_steps: int, latent_hw: Tuple[int, int],
                        use_control: bool, start_index: int = 0,
                        img2img: bool = False, inpaint: bool = False,
-                       decode: bool = True):
+                       decode: bool = True, end_index: Optional[int] = None,
+                       continuation: bool = False):
         """`start_index`/`img2img`/`inpaint`: the SDEdit image-to-image mode —
         the scan runs only grid indices [start_index, num_inference_steps), the
         incoming `latents` are VAE-encoded init latents that get noised to the
@@ -172,9 +173,12 @@ class StableDiffusionControlLoRAPipeline:
         (diffusers legacy-inpaint semantics). All static — each (strength,
         mask-ness) combination is its own compiled program. `decode=False`
         skips the VAE and returns the final latents (latent hand-off for
-        refiner/upscaler chains, and latent-exactness tests)."""
+        refiner/upscaler chains, and latent-exactness tests). `end_index` stops
+        the scan early (base side of an ensemble split); `continuation` resumes
+        a partial trajectory from raw state-frame latents WITHOUT re-noising
+        (refiner side)."""
         key = (num_inference_steps, latent_hw, use_control, start_index,
-               img2img, inpaint, decode)
+               img2img, inpaint, decode, end_index, continuation)
         if key in self._sample_cache:
             return self._sample_cache[key]
 
@@ -235,6 +239,8 @@ class StableDiffusionControlLoRAPipeline:
             noised_init = lambda init, noise, i: init + sigmas[i] * noise
             prepare_state = lambda init, noise: noised_init(init, noise, start_index)
             set_sample = lambda s, x: x
+            # continuation latents are ALREADY in the VE frame at sigma[start]
+            wrap_state = lambda x: x
         else:
             def noised_init(init, noise, i):
                 t = ts[jnp.minimum(i, N - 1)]
@@ -248,6 +254,7 @@ class StableDiffusionControlLoRAPipeline:
             )
             set_sample = ((lambda s, x: x) if isinstance(sch, DDIMScheduler)
                           else (lambda s, x: s.replace(sample=x)))
+            wrap_state = init_state  # fresh (empty) multistep history
 
         cfg_split = self._cfg_split
         tp = self._tp
@@ -305,6 +312,10 @@ class StableDiffusionControlLoRAPipeline:
                 # start grid point in the scheduler's own frame (paint[0] is the
                 # per-image Gaussian noise — kept for inpaint re-injection too)
                 state = prepare_state(latents, paint[0])
+            elif continuation:
+                # ensemble split: `latents` are a partial trajectory's state at
+                # grid point start_index — no re-noising, no sigma_max scaling
+                state = wrap_state(latents)
             else:
                 state = init_state(latents)
 
@@ -343,7 +354,9 @@ class StableDiffusionControlLoRAPipeline:
                 return tail(state, eps_g, i), None
 
             state, _ = jax.lax.scan(
-                body, state, jnp.arange(start_index, num_inference_steps)
+                body, state,
+                jnp.arange(start_index,
+                           num_inference_steps if end_index is None else end_index),
             )
             if not decode:
                 return get_sample(state)
@@ -464,6 +477,10 @@ class StableDiffusionControlLoRAPipeline:
         image: Optional[np.ndarray] = None,
         strength: float = 0.8,
         mask: Optional[np.ndarray] = None,
+        denoising_start: Optional[float] = None,
+        denoising_end: Optional[float] = None,
+        aesthetic_score: float = 6.0,
+        negative_aesthetic_score: float = 2.5,
         return_array: bool = False,
         return_latents: bool = False,
     ):
@@ -481,6 +498,15 @@ class StableDiffusionControlLoRAPipeline:
         `return_latents`: skip the VAE decode and return the final (H/8, W/8, 4)
         scaled latents per image — latent hand-off for refiner/upscaler chains.
 
+        `denoising_end` / `denoising_start`: the SDXL base→refiner
+        ensemble-of-experts split (diffusers semantics). The base pipeline runs
+        only grid indices [0, round(steps·end)) — pair with
+        `return_latents=True` — and the refiner pipeline continues the SAME
+        trajectory from `latents=` at [round(steps·start), steps) WITHOUT
+        re-noising (unlike img2img). Use the same scheduler type and step count
+        on both so the grids line up. 5-id text_time UNets (the refiner) take
+        `aesthetic_score` / `negative_aesthetic_score` conditioning.
+
         `extra_controls`: optional sequence of (control_lora, params, guide) triples —
         additional ControlLoRAs composed into the same render (multi-condition
         control, e.g. canny + pose). Each triple's guide is encoded by its own hint
@@ -496,6 +522,10 @@ class StableDiffusionControlLoRAPipeline:
             image = image[None] if image.ndim == 3 else image
             height = height or image.shape[1]
             width = width or image.shape[2]
+        if latents is not None:
+            _l4 = latents if latents.ndim == 4 else latents[None]
+            height = height or _l4.shape[1] * 8
+            width = width or _l4.shape[2] * 8
         height = height or 512
         width = width or 512
         lh, lw = height // 8, width // 8
@@ -515,18 +545,31 @@ class StableDiffusionControlLoRAPipeline:
         else:
             ctx, pooled = encoded, None
         if self.unet.config.addition_embed_type == "text_time":
-            # SDXL micro-conditioning: (orig_h, orig_w, crop_top, crop_left,
-            # target_h, target_w) — no crop/rescale in this pipeline, so original
-            # == target == render size (diffusers _get_add_time_ids defaults)
             if pooled is None:
                 raise ValueError(
                     "this UNet needs text_time micro-conditioning; build the stack "
-                    "with the dual text encoder (zoo.build_models('sdxl'))"
+                    "with a pooled-projection text encoder "
+                    "(zoo.build_models('sdxl' | 'sdxl-refiner'))"
                 )
-            tids = jnp.tile(
-                jnp.array([[height, width, 0, 0, height, width]], jnp.float32),
-                (2, 1),
-            )
+            # id-vector layout follows the conditioning width: 6 ids = SDXL-base
+            # (orig_h, orig_w, crop_top, crop_left, target_h, target_w) — no
+            # crop/rescale in this pipeline so original == target == render size
+            # (diffusers _get_add_time_ids defaults); 5 ids = SDXL-refiner
+            # (orig_h, orig_w, crop_top, crop_left, aesthetic_score) with the
+            # cond/uncond score pair.
+            want = self.unet.config.projection_class_embeddings_input_dim
+            n_ids = ((want - pooled.shape[-1])
+                     // self.unet.config.addition_time_embed_dim) if want else 6
+            if n_ids == 5:
+                tids = jnp.array(
+                    [[height, width, 0, 0, negative_aesthetic_score],
+                     [height, width, 0, 0, aesthetic_score]], jnp.float32,
+                )
+            else:
+                tids = jnp.tile(
+                    jnp.array([[height, width, 0, 0, height, width]], jnp.float32),
+                    (2, 1),
+                )
             added = (pooled, tids)
 
         adapters = None
@@ -555,11 +598,32 @@ class StableDiffusionControlLoRAPipeline:
             start_index = num_inference_steps - min(
                 int(num_inference_steps * s), num_inference_steps
             )
+        if denoising_start is not None:
+            if image is not None:
+                raise ValueError(
+                    "denoising_start (latent trajectory continuation) and image "
+                    "(img2img re-noising) are mutually exclusive"
+                )
+            if latents is None:
+                raise ValueError(
+                    "denoising_start continues a partial trajectory: pass the "
+                    "base pipeline's return_latents output as latents="
+                )
+            start_index = int(round(num_inference_steps * float(denoising_start)))
+        end_index = None
+        if denoising_end is not None:
+            end_index = int(round(num_inference_steps * float(denoising_end)))
+            if not start_index < end_index <= num_inference_steps:
+                raise ValueError(
+                    f"denoising window [{start_index}, {end_index}) is empty or "
+                    f"out of range for {num_inference_steps} steps"
+                )
 
         sampler = self._build_sampler(
             num_inference_steps, (lh, lw), adapters is not None,
             start_index=start_index, img2img=image is not None,
             inpaint=mask is not None, decode=not return_latents,
+            end_index=end_index, continuation=denoising_start is not None,
         )
         foldable = bool(adapters) and all(
             s.main is not None and not s.pre and not s.post for s in adapters.values()
