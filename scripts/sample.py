@@ -55,6 +55,18 @@ def parse_args(argv=None):
     p.add_argument("--prediction_type", type=str, default="epsilon",
                    choices=["epsilon", "v_prediction"],
                    help="v_prediction for SD2.x-style checkpoints")
+    p.add_argument("--refiner_variant", type=str, default=None,
+                   choices=["sdxl-refiner", "smokeref"],
+                   help="two-stage SDXL render: the base model runs "
+                        "[0, denoising_split) and the refiner continues the "
+                        "trajectory to the end (ensemble of experts)")
+    p.add_argument("--refiner_model_path", type=str, default=None,
+                   help="diffusers-layout checkpoint dir for the refiner "
+                        "(random weights if omitted, like the base)")
+    p.add_argument("--denoising_split", type=float, default=0.8,
+                   help="base/refiner handoff point as a schedule fraction")
+    p.add_argument("--aesthetic_score", type=float, default=6.0)
+    p.add_argument("--negative_aesthetic_score", type=float, default=2.5)
     p.add_argument("--serving_mesh", type=str, default=None,
                    help="multi-chip serving axes, e.g. 'data' (shard the image "
                         "batch), 'cfg' (split the guidance pair, halves batch-1 "
@@ -223,6 +235,44 @@ def main(argv=None):
         scheduler=scheduler, mesh=mesh,
     )
 
+    # two-stage SDXL ensemble: a second pipeline continues the base trajectory
+    refiner_pipe = None
+    if args.refiner_variant:
+        if args.mask_image:
+            raise SystemExit(
+                "--refiner_variant with --mask_image is unsupported: the refiner "
+                "stage would repaint the preserved region"
+            )
+        r_unet, r_vae, r_text = zoo.build_models(args.refiner_variant, dtype=dtype)
+        if args.refiner_model_path:
+            r_frozen = zoo.load_frozen(args.refiner_model_path, param_dtype=dtype)
+        else:
+            r_frozen = zoo.random_frozen(
+                jax.random.PRNGKey(args.seed + 1), r_unet, r_vae, r_text,
+                latent_size=args.resolution // 8, param_dtype=dtype)
+            print("WARNING: random frozen refiner (no pretrained weights)")
+        refiner_pipe = StableDiffusionControlLoRAPipeline(
+            r_unet, r_vae, r_text, tokenizer, r_frozen,
+            scheduler=scheduler, mesh=mesh,
+        )
+        print(f"two-stage render: base [0, {args.denoising_split}) -> refiner")
+
+    def render(prompt, k, return_array=False, **kw):
+        if refiner_pipe is None:
+            return pipe(prompt, rng=k, return_array=return_array, **kw)[0]
+        lat = pipe(prompt, rng=k, denoising_end=args.denoising_split,
+                   return_latents=True, **kw)[0]
+        return refiner_pipe(
+            prompt,
+            latents=jnp.asarray(lat)[None],
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            denoising_start=args.denoising_split,
+            aesthetic_score=args.aesthetic_score,
+            negative_aesthetic_score=args.negative_aesthetic_score,
+            rng=k, return_array=return_array,
+        )[0]
+
     os.makedirs(args.output_dir, exist_ok=True)
     sample_rng = jax.random.PRNGKey(args.seed)
 
@@ -242,13 +292,13 @@ def main(argv=None):
         # plain-LoRA sampling (reference test_dreambooth_lora.py:824-888)
         for i in range(args.num_validation_images):
             sample_rng, k = jax.random.split(sample_rng)
-            img = pipe(
-                args.prompt or f"sample {i}",
+            img = render(
+                args.prompt or f"sample {i}", k,
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.guidance_scale,
                 height=args.resolution, width=args.resolution,
-                rng=k, extra_loras=extra_loras, **paint_kwargs,
-            )[0]
+                extra_loras=extra_loras, **paint_kwargs,
+            )
             Image.fromarray(img).save(os.path.join(args.output_dir, f"{i}.png"))
             print(f"wrote {args.output_dir}/{i}.png")
         return
@@ -260,16 +310,15 @@ def main(argv=None):
         item = dataset[i]
         caption = args.prompt or f"sample {i}"
         sample_rng, k = jax.random.split(sample_rng)
-        img = pipe(
-            caption,
+        img = render(
+            caption, k,
             guide=item["guide_values"].astype(np.float32),
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale,
-            rng=k,
             return_array=True,
             extra_loras=extra_loras,
             **paint_kwargs,
-        )[0]
+        )
         montage = DatasetBase.cat_input(item["pixel_values"], item["guide_values"], img)
         Image.fromarray(montage).save(os.path.join(args.output_dir, f"{i}.png"))
         print(f"wrote {args.output_dir}/{i}.png")

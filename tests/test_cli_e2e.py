@@ -316,6 +316,29 @@ def test_new_family_train_and_sample_cli(tmp_path, variant):
     assert os.path.exists(os.path.join(odir, "0.png"))
 
 
+def test_refiner_two_stage_cli(tmp_path):
+    """--refiner_variant: the base (smokexl) renders [0, split) and the
+    smokeref refiner continues the latent trajectory to the final image."""
+    import sample as sample_cli
+    import train as train_cli
+
+    out = str(tmp_path / "run")
+    train_cli.main([
+        "--model_variant", "smokexl", "--dataset_name", "process/fill50k",
+        "--resolution", "64", "--train_batch_size", "1", "--max_train_steps", "1",
+        "--output_dir", out, "--checkpointing_steps", "0",
+        "--log_every", "1", "--seed", "9",
+    ])
+    odir = str(tmp_path / "s")
+    sample_cli.main([
+        "--model_variant", "smokexl", "--control_lora_dir", out,
+        "--resolution", "64", "--num_inference_steps", "4",
+        "--num_validation_images", "1", "--refiner_variant", "smokeref",
+        "--denoising_split", "0.5", "--output_dir", odir, "--seed", "7",
+    ])
+    assert os.path.exists(os.path.join(odir, "0.png"))
+
+
 def test_train_kill_resume_and_sample(tmp_path):
     from controllora_tpu.training.checkpoint import load_control_lora
 
