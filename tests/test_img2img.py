@@ -182,6 +182,28 @@ def test_img2img_mesh_equivalence(stack):
         np.testing.assert_allclose(r, o, atol=2e-4)   # mesh == single device
 
 
+def test_hires_fix(stack):
+    """Two-pass hires fix: base render -> 2x upscale -> img2img refinement;
+    the target snaps to the UNet's 64-px granularity and the result is
+    deterministic."""
+    from controllora_tpu.pipelines import hires_fix
+
+    pipe = _pipe(stack)
+    out = hires_fix(pipe, "p", height=64, width=64, scale=2.0, strength=0.5,
+                    num_inference_steps=4, rng=jax.random.PRNGKey(9),
+                    return_array=True)
+    assert out[0].shape == (128, 128, 3) and np.isfinite(out[0]).all()
+    again = hires_fix(pipe, "p", height=64, width=64, scale=2.0, strength=0.5,
+                      num_inference_steps=4, rng=jax.random.PRNGKey(9),
+                      return_array=True)
+    np.testing.assert_allclose(out[0], again[0], atol=0)
+    # 1.5x of 64 px snaps to the granularity floor/ceiling, not an invalid grid
+    odd = hires_fix(pipe, "p", height=64, width=64, scale=1.4, strength=0.5,
+                    num_inference_steps=4, rng=jax.random.PRNGKey(9),
+                    return_array=True)
+    assert odd[0].shape == (64, 64, 3)
+
+
 def test_img2img_rejects_latents_conflict(stack):
     pipe = _pipe(stack)
     img = _init_image()
