@@ -161,10 +161,14 @@ class CLIPBPETokenizer:
             ids.extend(self.encoder[t] for t in self.bpe(token).split(" "))
         return ids
 
-    def __call__(self, texts) -> np.ndarray:
+    def __call__(self, texts, pad_id: Optional[int] = None) -> np.ndarray:
+        """`pad_id`: padding token for positions after EOS — default EOS
+        (SD1.5/SD2 CLIPTokenizer convention); SDXL's tokenizer_2 pads with
+        '!' = id 0 instead (pass pad_id=0 for the ViT-bigG tower)."""
         if isinstance(texts, str):
             texts = [texts]
-        out = np.full((len(texts), self.max_length), self.eos, dtype=np.int32)
+        pad = self.eos if pad_id is None else pad_id
+        out = np.full((len(texts), self.max_length), pad, dtype=np.int32)
         for i, t in enumerate(texts):
             ids = [self.bos] + self.encode_text(t)[: self.max_length - 2] + [self.eos]
             out[i, : len(ids)] = ids
@@ -191,10 +195,11 @@ class HashTokenizer:
             ids.append(h % (self.vocab_size - 2))
         return ids
 
-    def __call__(self, texts) -> np.ndarray:
+    def __call__(self, texts, pad_id: Optional[int] = None) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
-        out = np.full((len(texts), self.max_length), self.eos, dtype=np.int32)
+        pad = self.eos if pad_id is None else pad_id
+        out = np.full((len(texts), self.max_length), pad, dtype=np.int32)
         for i, t in enumerate(texts):
             ids = [self.bos] + self.encode_text(t)[: self.max_length - 2] + [self.eos]
             out[i, : len(ids)] = ids

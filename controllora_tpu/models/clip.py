@@ -160,9 +160,12 @@ class DualCLIPTextEncoder(nn.Module):
     tower 2's EOS-pooled projection provides the `text_embeds` micro-conditioning
     vector (diffusers StableDiffusionXLPipeline.encode_prompt semantics).
 
-    Both towers consume the same token ids (the two SDXL tokenizers share the
-    CLIP vocab; they differ only in pad-token id, which never reaches the model
-    because CLIP ids are fixed-length 77 with EOS-argmax pooling)."""
+    The two SDXL tokenizers share the CLIP vocab but pad differently: tower 1
+    pads with EOS (CLIPTokenizer convention), tower 2 with '!' = id 0
+    (tokenizer_2). Pad positions DO reach the model — all 77 positions of the
+    concatenated context feed the UNet's cross-attention — so pass
+    `input_ids2` tokenized with the tower-2 pad for exact parity (the pipeline
+    does this automatically); it defaults to `input_ids` for hermetic runs."""
 
     config1: CLIPTextConfig
     config2: CLIPTextConfig
@@ -177,8 +180,11 @@ class DualCLIPTextEncoder(nn.Module):
         return self.config2.projection_dim
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray):
-        """(B, 77) ids -> ((B, 77, h1+h2) context, (B, projection_dim) pooled)."""
+    def __call__(self, input_ids: jnp.ndarray,
+                 input_ids2: Optional[jnp.ndarray] = None):
+        """(B, 77) ids [+ tower-2 ids] -> ((B, 77, h1+h2) ctx, (B, proj) pooled)."""
+        if input_ids2 is None:
+            input_ids2 = input_ids
         c1 = CLIPTextModel(self.config1, self.dtype, name="te1")(input_ids)
-        c2, pooled = CLIPTextModel(self.config2, self.dtype, name="te2")(input_ids)
+        c2, pooled = CLIPTextModel(self.config2, self.dtype, name="te2")(input_ids2)
         return jnp.concatenate([c1, c2], axis=-1), pooled

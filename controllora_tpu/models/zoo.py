@@ -271,16 +271,31 @@ def random_frozen(rng: jax.Array, unet, vae, text_encoder, latent_size: int = 8,
 
 
 def load_frozen(pretrained_dir: str, param_dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Load a diffusers-layout local checkpoint directory into flax param trees."""
+    """Load a diffusers-layout local checkpoint directory into flax param trees.
+
+    The text-encoder layout is auto-detected from the directory:
+    * `text_encoder/` only — single tower (SD1.5 / SD2.x).
+    * `text_encoder/` + `text_encoder_2/` — SDXL-base dual towers, nested as
+      the DualCLIPTextEncoder expects ({'te1': ..., 'te2': ...}).
+    * `text_encoder_2/` only — SDXL-refiner (the ViT-bigG tower alone).
+    """
     out = {}
     unet_w = _find_weights(os.path.join(pretrained_dir, "unet"))
     vae_w = _find_weights(os.path.join(pretrained_dir, "vae"))
     text_w = _find_weights(os.path.join(pretrained_dir, "text_encoder"))
-    if not (unet_w and vae_w and text_w):
+    text2_w = _find_weights(os.path.join(pretrained_dir, "text_encoder_2"))
+    if not (unet_w and vae_w and (text_w or text2_w)):
         raise FileNotFoundError(
-            f"expected unet/vae/text_encoder weight files under {pretrained_dir}"
+            f"expected unet/vae/text_encoder[_2] weight files under {pretrained_dir}"
         )
     out["unet"] = cast_tree(translate_unet(load_state_dict(unet_w)), param_dtype)
     out["vae"] = cast_tree(translate_vae(load_state_dict(vae_w)), param_dtype)
-    out["text"] = cast_tree(translate_clip_text(load_state_dict(text_w)), param_dtype)
+    if text_w and text2_w:
+        out["text"] = {
+            "te1": cast_tree(translate_clip_text(load_state_dict(text_w)), param_dtype),
+            "te2": cast_tree(translate_clip_text(load_state_dict(text2_w)), param_dtype),
+        }
+    else:
+        only = text_w or text2_w
+        out["text"] = cast_tree(translate_clip_text(load_state_dict(only)), param_dtype)
     return out

@@ -143,13 +143,21 @@ def tp_bias_specs(biases: Optional[Dict[str, Any]], axis: str = "model"):
 def validate_tp(config, tp: int) -> None:
     """Fail fast on configs the head-aligned column sharding cannot split."""
     hd = config.attention_head_dim
-    per_block = tuple(hd) if isinstance(hd, (tuple, list)) else (
-        (hd,) * len(config.block_out_channels))
-    for heads in per_block:
-        if heads % tp:
+    n = len(config.block_out_channels)
+    per_block = tuple(hd) if isinstance(hd, (tuple, list)) else ((hd,) * n)
+    for i, heads in enumerate(per_block):
+        # only levels that actually instantiate attention constrain the
+        # sharding (SDXL level 0 is DownBlock2D/UpBlock2D — its 5-head config
+        # entry never materializes); the mid block always uses the last entry
+        has_attn = (
+            config.down_block_types[i] == "CrossAttnDownBlock2D"
+            or config.up_block_types[n - 1 - i] == "CrossAttnUpBlock2D"
+            or i == n - 1
+        )
+        if has_attn and heads % tp:
             raise ValueError(
                 f"tensor-parallel serving shards attention by whole heads: "
-                f"heads={heads} not divisible by model-axis size {tp}"
+                f"heads={heads} (level {i}) not divisible by model-axis size {tp}"
             )
     for ch in config.block_out_channels:
         if (4 * ch) % tp:  # GEGLU inner = dim * 4

@@ -136,8 +136,27 @@ class StableDiffusionControlLoRAPipeline:
     def encode_prompt(self, prompt: str, negative_prompt: str = ""):
         """-> (2, 77, hidden) [uncond ‖ cond] context for CFG; SDXL dual towers
         additionally return the (2, pooled_dim) pooled pair for text_time
-        micro-conditioning — then the result is a (ctx, pooled) tuple."""
-        ids = self.tokenizer([negative_prompt, prompt])
+        micro-conditioning — then the result is a (ctx, pooled) tuple.
+
+        Dual towers get per-tower token ids: tower 2's ids re-tokenize with the
+        SDXL tokenizer_2 pad convention (pad id 0, '!') when the tokenizer
+        supports a `pad_id` argument — pad positions feed the 77-token
+        cross-attention context, so the pad id is parity-relevant."""
+        texts = [negative_prompt, prompt]
+        ids = self.tokenizer(texts)
+        from controllora_tpu.models.clip import DualCLIPTextEncoder
+
+        if isinstance(self.text_encoder, DualCLIPTextEncoder):
+            try:
+                ids2 = self.tokenizer(texts, pad_id=0)
+            except TypeError:  # tokenizer without pad control: shared ids
+                ids2 = ids
+            if not hasattr(self, "_encode_jit"):
+                self._encode_jit = jax.jit(
+                    lambda p, i, i2: self.text_encoder.apply({"params": p}, i, i2)
+                )
+            return self._encode_jit(self.frozen["text"], jnp.asarray(ids),
+                                     jnp.asarray(ids2))
         if not hasattr(self, "_encode_jit"):
             self._encode_jit = jax.jit(
                 lambda p, i: self.text_encoder.apply({"params": p}, i)

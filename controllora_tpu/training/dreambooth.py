@@ -17,6 +17,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from controllora_tpu.models.lora import AttnAdapter, make_plain_lora_adapters
 from controllora_tpu.schedulers import DDPMScheduler
+from controllora_tpu.training.conditioning import resolve_text_conditioning
 from controllora_tpu.training.trainer import TrainState, make_optimizer
 
 
@@ -79,32 +80,9 @@ class DreamBoothLoRATrainer:
         noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
         t = jax.random.randint(rng_t, (b,), 0, sch.schedule.num_train_timesteps)
         noisy = sch.add_noise(latents, noise, t)
-        added_kwargs = {}
-        pooled = None
-        if "encoder_hidden_states" in batch:
-            ctx = batch["encoder_hidden_states"]
-            pooled = batch.get("pooled_text_embeds")
-        else:
-            ctx = self.text_encoder.apply({"params": frozen["text"]}, batch["input_ids"])
-            if isinstance(ctx, tuple):  # SDXL dual tower -> (context, pooled)
-                ctx, pooled = ctx
-        if self.unet.config.addition_embed_type == "text_time":
-            # SDXL micro-conditioning; original == target == training resolution
-            # (square center pipeline, no crop drift) unless the batch provides ids
-            if pooled is None:
-                raise ValueError(
-                    "text_time UNet: provide a dual text encoder (input_ids path) "
-                    "or pooled_text_embeds alongside encoder_hidden_states"
-                )
-            if "time_ids" in batch:
-                tids = batch["time_ids"].astype(jnp.float32)
-            else:
-                res_h, res_w = latents.shape[1] * 8, latents.shape[2] * 8
-                tids = jnp.tile(
-                    jnp.array([[res_h, res_w, 0, 0, res_h, res_w]], jnp.float32),
-                    (b, 1),
-                )
-            added_kwargs = dict(added_text_embeds=pooled, added_time_ids=tids)
+        ctx, added_kwargs = resolve_text_conditioning(
+            batch, self.text_encoder, frozen.get("text"), self.unet.config, latents
+        )
 
         adapters = self._adapters_from(params)
         unet_apply = self.unet.apply

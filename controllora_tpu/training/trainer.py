@@ -33,6 +33,7 @@ from controllora_tpu.models.control_lora import ControlLoRA
 from controllora_tpu.models.unet import UNet2DConditionModel
 from controllora_tpu.models.vae import AutoencoderKL
 from controllora_tpu.schedulers import DDPMScheduler
+from controllora_tpu.training.conditioning import resolve_text_conditioning
 
 
 @struct.dataclass
@@ -205,37 +206,9 @@ class ControlLoRATrainer:
         t = jax.random.randint(rng_t, (b,), 0, sch.schedule.num_train_timesteps)
         noisy = sch.add_noise(latents, noise, t)
 
-        added_kwargs = {}
-        pooled = None
-        if "encoder_hidden_states" in batch:
-            ctx = batch["encoder_hidden_states"]
-            pooled = batch.get("pooled_text_embeds")
-        else:
-            ctx = self.text_encoder.apply(
-                {"params": frozen["text"]}, batch["input_ids"]
-            )
-            if isinstance(ctx, tuple):  # SDXL dual tower -> (context, pooled)
-                ctx, pooled = ctx
-        if self.unet.config.addition_embed_type == "text_time":
-            # SDXL micro-conditioning: datasets may provide per-image
-            # (orig_h, orig_w, crop_top, crop_left, target_h, target_w); the
-            # default matches this repo's square center pipeline (no crop drift):
-            # original == target == training resolution
-            if pooled is None:
-                raise ValueError(
-                    "text_time UNet: provide a dual text encoder (input_ids path) "
-                    "or pooled_text_embeds alongside encoder_hidden_states"
-                )
-            if "time_ids" in batch:
-                tids = batch["time_ids"].astype(jnp.float32)
-            else:
-                res_h = latents.shape[1] * 8
-                res_w = latents.shape[2] * 8
-                tids = jnp.tile(
-                    jnp.array([[res_h, res_w, 0, 0, res_h, res_w]], jnp.float32),
-                    (b, 1),
-                )
-            added_kwargs = dict(added_text_embeds=pooled, added_time_ids=tids)
+        ctx, added_kwargs = resolve_text_conditioning(
+            batch, self.text_encoder, frozen.get("text"), self.unet.config, latents
+        )
 
         adapters = self.control_lora(params, batch["guide_values"], self.unet.config)
 

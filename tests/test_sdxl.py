@@ -81,6 +81,31 @@ def test_dual_text_encoder(smokexl):
     assert "text_projection" not in frozen["text"]["te1"]
 
 
+def test_dual_tower_pad_convention(smokexl):
+    """SDXL tokenizer_2 pads with id 0 while tokenizer_1 pads with EOS; the pad
+    positions feed the cross-attention context (parity-relevant), while the
+    EOS-argmax pooled vector is causal-protected and must not change."""
+    from controllora_tpu.data.tokenizer import HashTokenizer
+
+    _, _, text, frozen = smokexl
+    tok = HashTokenizer()
+    ids = jnp.asarray(tok(["a prompt"]))
+    ids2 = jnp.asarray(tok(["a prompt"], pad_id=0))
+    assert not np.array_equal(np.asarray(ids), np.asarray(ids2))
+    ctx_a, pooled_a = text.apply({"params": frozen["text"]}, ids)
+    ctx_b, pooled_b = text.apply({"params": frozen["text"]}, ids, ids2)
+    h1 = text.config1.hidden_size
+    # tower 1 consumed identical ids in both calls
+    np.testing.assert_array_equal(np.asarray(ctx_a[..., :h1]),
+                                  np.asarray(ctx_b[..., :h1]))
+    # tower 2's padded positions differ with the pad id
+    assert np.abs(np.asarray(ctx_a[..., h1:]) -
+                  np.asarray(ctx_b[..., h1:])).max() > 1e-6
+    # causal mask: nothing after EOS can reach the EOS-pooled projection
+    np.testing.assert_allclose(np.asarray(pooled_a), np.asarray(pooled_b),
+                               atol=1e-6)
+
+
 def test_smokexl_unet_forward(smokexl):
     """text_time conditioning: forward needs (and uses) pooled text + time ids."""
     unet, _, text, frozen = smokexl
