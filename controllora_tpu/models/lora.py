@@ -17,9 +17,12 @@ Behavioral quirks of the reference preserved deliberately (documented for parity
   * the main control adapter's to_out_lora is applied unconditionally in the v1/v2
     control processors (reference models.py:279, 423 — the skip flag only controls
     whether the parameters exist),
-  * CFG batch mismatch between control (B) and hidden (2B) is resolved by
-    repeat-interleave on the control batch under `concat_hidden`
-    (reference models.py:209-212) and by numpy-style broadcasting otherwise.
+  * CFG batch mismatch between control (B) and hidden (2B) is resolved by TILING
+    the control batch to the hidden batch (see _match_batch: identical to the
+    reference's repeat-interleave at models.py:209-212 for the only shape the
+    reference ever runs, control batch 1, and correct — unlike interleave — for
+    per-image control batches under the block [uncond ‖ cond] CFG layout);
+    batch-1 control otherwise rides numpy-style broadcasting.
 """
 
 from __future__ import annotations
@@ -95,11 +98,17 @@ class AdapterStack:
 
 
 def _match_batch(c: jnp.ndarray, b: int) -> jnp.ndarray:
-    """Repeat-interleave control batch to the hidden batch (CFG uncond‖cond doubling;
-    reference models.py:209-212)."""
+    """Tile the control batch to the hidden batch (CFG uncond‖cond doubling).
+
+    The reference repeat-interleaves here (models.py:209-212), but only ever runs
+    control batch 1 — where interleave and tile are the same array. For per-image
+    control batches (beyond-reference batch serving), this pipeline's CFG layout is
+    the block concat [u1..un ‖ c1..cn] (diffusers convention), so guide i must pair
+    with hidden rows i and n+i — i.e. TILE; the reference's interleave would
+    misalign every sample but the first."""
     if c.shape[0] != b:
         rep = b // c.shape[0]
-        c = jnp.repeat(c, rep, axis=0)
+        c = jnp.tile(c, (rep,) + (1,) * (c.ndim - 1))
     return c
 
 
@@ -112,6 +121,10 @@ def process_control_states(
     """
     spec = adapter.spec
     c = adapter.control.astype(hidden.dtype)
+    if c.shape[0] not in (1, hidden.shape[0]):
+        # per-image control batch n under the CFG 2n hidden batch: align by tiling
+        # (batch-1 control instead rides numpy broadcasting on the cheap path)
+        c = _match_batch(c, hidden.shape[0])
     x = c
     if spec.concat_hidden:
         c = _match_batch(c, hidden.shape[0])

@@ -232,7 +232,22 @@ class CrossAttention(nn.Module):
             )
         if folded:
             # inference fast path: adapters pre-folded into kernels (ops/folding.py);
-            # only the precomputed per-position biases remain
+            # only the precomputed per-position biases remain. Per-image control
+            # batches (n guides for a 2n CFG batch) tile to the block
+            # [uncond ‖ cond] layout; batch-1 biases broadcast as before.
+            b_h = hidden.shape[0]
+
+            def fit(bias):
+                if bias is not None and bias.shape[0] not in (1, b_h):
+                    bias = jnp.tile(
+                        bias, (b_h // bias.shape[0],) + (1,) * (bias.ndim - 1)
+                    )
+                return bias
+
+            stack = stack.replace(
+                q_bias=fit(stack.q_bias), k_bias=fit(stack.k_bias),
+                v_bias=fit(stack.v_bias), out_bias=fit(stack.out_bias),
+            )
             q = dense(inner, self.dtype, "to_q", use_bias=False)(hidden)
             ctx_in = hidden if ctx is None else ctx
             k = dense(inner, self.dtype, "to_k", use_bias=False)(ctx_in)

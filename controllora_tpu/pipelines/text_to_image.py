@@ -133,16 +133,46 @@ class StableDiffusionControlLoRAPipeline:
 
     # ------------------------------------------------------------------ text
 
-    def encode_prompt(self, prompt: str, negative_prompt: str = ""):
+    def encode_prompt(self, prompt, negative_prompt=""):
         """-> (2, 77, hidden) [uncond ‖ cond] context for CFG; SDXL dual towers
         additionally return the (2, pooled_dim) pooled pair for text_time
         micro-conditioning — then the result is a (ctx, pooled) tuple.
+
+        `prompt` may be a LIST of n prompts (per-image prompts — mixed-request
+        batch serving): the context is then (2, n, 77, hidden) ([uncond pairs ‖
+        cond pairs], image-major on axis 1) and pooled (2, n, pooled_dim).
+        `negative_prompt` may be a matching list or a single string shared by
+        all images.
 
         Dual towers get per-tower token ids: tower 2's ids re-tokenize with the
         SDXL tokenizer_2 pad convention (pad id 0, '!') when the tokenizer
         supports a `pad_id` argument — pad positions feed the 77-token
         cross-attention context, so the pad id is parity-relevant."""
-        texts = [negative_prompt, prompt]
+        per_image = None
+        if isinstance(prompt, (list, tuple)):
+            prompts = list(prompt)
+            negs = (list(negative_prompt)
+                    if isinstance(negative_prompt, (list, tuple))
+                    else [negative_prompt] * len(prompts))
+            if len(negs) != len(prompts):
+                raise ValueError(
+                    f"{len(prompts)} prompts but {len(negs)} negative prompts"
+                )
+            texts = negs + prompts  # block CFG layout [u1..un ‖ c1..cn]
+            per_image = len(prompts)
+        elif isinstance(negative_prompt, (list, tuple)):
+            raise ValueError("list negative_prompt requires a list prompt")
+        else:
+            texts = [negative_prompt, prompt]
+
+        def shape_out(enc):
+            # (2n, 77, h) -> (2, n, 77, h) per-image pairs; (2, ...) single
+            if per_image is None:
+                return enc
+            if isinstance(enc, tuple):
+                return tuple(e.reshape((2, per_image) + e.shape[1:]) for e in enc)
+            return enc.reshape((2, per_image) + enc.shape[1:])
+
         ids = self.tokenizer(texts)
         from controllora_tpu.models.clip import DualCLIPTextEncoder
 
@@ -155,13 +185,13 @@ class StableDiffusionControlLoRAPipeline:
                 self._encode_jit = jax.jit(
                     lambda p, i, i2: self.text_encoder.apply({"params": p}, i, i2)
                 )
-            return self._encode_jit(self.frozen["text"], jnp.asarray(ids),
-                                     jnp.asarray(ids2))
+            return shape_out(self._encode_jit(self.frozen["text"], jnp.asarray(ids),
+                                              jnp.asarray(ids2)))
         if not hasattr(self, "_encode_jit"):
             self._encode_jit = jax.jit(
                 lambda p, i: self.text_encoder.apply({"params": p}, i)
             )
-        return self._encode_jit(self.frozen["text"], jnp.asarray(ids))
+        return shape_out(self._encode_jit(self.frozen["text"], jnp.asarray(ids)))
 
     # ------------------------------------------------------------------ image
 
@@ -183,7 +213,7 @@ class StableDiffusionControlLoRAPipeline:
                        use_control: bool, start_index: int = 0,
                        img2img: bool = False, inpaint: bool = False,
                        decode: bool = True, end_index: Optional[int] = None,
-                       continuation: bool = False):
+                       continuation: bool = False, per_image_ctx: bool = False):
         """`start_index`/`img2img`/`inpaint`: the SDEdit image-to-image mode —
         the scan runs only grid indices [start_index, num_inference_steps), the
         incoming `latents` are VAE-encoded init latents that get noised to the
@@ -197,7 +227,7 @@ class StableDiffusionControlLoRAPipeline:
         a partial trajectory from raw state-frame latents WITHOUT re-noising
         (refiner side)."""
         key = (num_inference_steps, latent_hw, use_control, start_index,
-               img2img, inpaint, decode, end_index, continuation)
+               img2img, inpaint, decode, end_index, continuation, per_image_ctx)
         if key in self._sample_cache:
             return self._sample_cache[key]
 
@@ -298,20 +328,27 @@ class StableDiffusionControlLoRAPipeline:
                 # (_match_batch, models/lora.py:97) so the split is exact.
                 rank = jax.lax.axis_index("cfg")
                 ctx_i = jax.lax.dynamic_index_in_dim(ctx, rank, 0, keepdims=False)
-                ctx_n = jnp.broadcast_to(ctx_i[None], (n,) + ctx.shape[1:])
+                if per_image_ctx:
+                    # ctx is (2, n, 77, h): this rank's branch is already per-image
+                    ctx_n = ctx_i
+                else:
+                    ctx_n = jnp.broadcast_to(ctx_i[None], (n,) + ctx.shape[1:])
                 cfg_w = jnp.where(rank == 0, 1.0 - guidance_scale, guidance_scale)
                 added_n = None
                 if added is not None:
-                    added_n = tuple(
-                        jnp.broadcast_to(
-                            jax.lax.dynamic_index_in_dim(a, rank, 0, keepdims=False
-                                                         )[None],
-                            (n,) + a.shape[1:],
-                        )
-                        for a in added
-                    )
+                    def branch(a):
+                        a_i = jax.lax.dynamic_index_in_dim(a, rank, 0,
+                                                           keepdims=False)
+                        if per_image_ctx:
+                            return a_i
+                        return jnp.broadcast_to(a_i[None], (n,) + a.shape[1:])
+
+                    added_n = tuple(branch(a) for a in added)
             else:
                 def cfg_pair(a, m):
+                    if per_image_ctx:
+                        # (2, n, ...) image-major pairs -> block [u1..un ‖ c1..cn]
+                        return a.reshape((-1,) + a.shape[2:])
                     return a if m == 1 else jnp.concatenate(
                         [jnp.repeat(a[:1], m, 0), jnp.repeat(a[1:], m, 0)], axis=0
                     )
@@ -404,6 +441,11 @@ class StableDiffusionControlLoRAPipeline:
                 return P()
             return (P("data"),) if len(paint) == 1 else (P("data"), P())
 
+        def ctx_spec(P):
+            # per-image context pairs (2, n, 77, h) shard image-major with the
+            # latents; the single (2, 77, h) pair replicates
+            return P(None, "data") if per_image_ctx else P()
+
         if self.mesh is not None and tp > 1:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -432,9 +474,9 @@ class StableDiffusionControlLoRAPipeline:
                 f = shard_map(
                     core,
                     mesh=self.mesh,
-                    in_specs=(tp_param_specs(unet_params), P(), P("data"), P(),
-                              P(), paint_spec(paint, P), tp_bias_specs(adapters),
-                              P(), P()),
+                    in_specs=(tp_param_specs(unet_params), P(), P("data"),
+                              ctx_spec(P), ctx_spec(P), paint_spec(paint, P),
+                              tp_bias_specs(adapters), P(), P()),
                     out_specs=P("data"),
                     check_vma=False,
                 )
@@ -459,7 +501,7 @@ class StableDiffusionControlLoRAPipeline:
                 f = shard_map(
                     partial(sample_fn, fold=fold),
                     mesh=self.mesh,
-                    in_specs=(P(), P(), P("data"), P(), P(),
+                    in_specs=(P(), P(), P("data"), ctx_spec(P), ctx_spec(P),
                               paint_spec(paint, P), P(), P(), P()),
                     out_specs=P("data"),
                     check_vma=False,
@@ -530,8 +572,24 @@ class StableDiffusionControlLoRAPipeline:
         additional ControlLoRAs composed into the same render (multi-condition
         control, e.g. canny + pose). Each triple's guide is encoded by its own hint
         encoder and its adapters join every attention layer's chain at
-        `extra_controls_where` ('pre'|'post'); see merge_extra_controls."""
+        `extra_controls_where` ('pre'|'post'); see merge_extra_controls.
+
+        Per-image batching (mixed-request serving, beyond-reference): `prompt`
+        (and `negative_prompt`) may be a LIST of n prompts — one per image — and
+        `guide` may carry a batch of n guides (single-device; the mesh path keeps
+        the replicated batch-1 guide). The whole mixed batch renders as ONE
+        compiled sampler call, so heterogeneous requests reach the batched
+        throughput optimum (docs/BENCHMARKS.md: 2.89 img/s at b4 vs 2.37 at b1);
+        serving/engine.py builds micro-batches on top of this. Steps, resolution,
+        guidance and lora scales stay batch-wide."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if isinstance(prompt, (list, tuple)):
+            if num_images not in (1, len(prompt)):
+                raise ValueError(
+                    f"{len(prompt)} per-image prompts conflict with "
+                    f"num_images={num_images}"
+                )
+            num_images = len(prompt)
         if guide is not None:
             guide = jnp.asarray(guide)[None] if guide.ndim == 3 else jnp.asarray(guide)
             height = height or guide.shape[1]
@@ -557,6 +615,7 @@ class StableDiffusionControlLoRAPipeline:
                 "start latents from the encoded init image"
             )
 
+        per_image_ctx = isinstance(prompt, (list, tuple))
         encoded = self.encode_prompt(prompt, negative_prompt)
         added = None
         if isinstance(encoded, tuple):
@@ -588,6 +647,11 @@ class StableDiffusionControlLoRAPipeline:
                 tids = jnp.tile(
                     jnp.array([[height, width, 0, 0, height, width]], jnp.float32),
                     (2, 1),
+                )
+            if per_image_ctx:
+                # pooled arrives (2, n, d); the shared size ids follow image-major
+                tids = jnp.broadcast_to(
+                    tids[:, None], (2, num_images, tids.shape[-1])
                 )
             added = (pooled, tids)
 
@@ -643,6 +707,7 @@ class StableDiffusionControlLoRAPipeline:
             start_index=start_index, img2img=image is not None,
             inpaint=mask is not None, decode=not return_latents,
             end_index=end_index, continuation=denoising_start is not None,
+            per_image_ctx=per_image_ctx,
         )
         foldable = bool(adapters) and all(
             s.main is not None and not s.pre and not s.post for s in adapters.values()
@@ -688,6 +753,16 @@ class StableDiffusionControlLoRAPipeline:
             rng, k = jax.random.split(rng)
             lat0 = jax.random.normal(k, (n, lh, lw, self.unet.config.in_channels),
                                      jnp.float32)
+        if per_image_ctx and ctx.shape[1] != n:
+            raise ValueError(
+                f"{ctx.shape[1]} per-image prompts for a batch of {n} images — "
+                "pass exactly one prompt per image (or a single string)"
+            )
+        if guide is not None and guide.shape[0] not in (1, n):
+            raise ValueError(
+                f"guide batch {guide.shape[0]} must be 1 (shared) or match the "
+                f"image batch {n} (per-image guides)"
+            )
         if self.mesh is not None:
             n_dev = dict(self.mesh.shape).get("data", 1)
             if n % n_dev:
