@@ -345,6 +345,43 @@ class FeedForward(nn.Module):
         return out
 
 
+def _merge_stack_tokens(stack, merge, b_h: int):
+    """Apply a ToMe merge map to every per-token tensor riding an adapter stack.
+
+    Folded stacks carry per-position biases (FoldedBias q/k/v/out); threaded
+    stacks carry per-position control states inside each AttnAdapter. Merging is
+    linear, so merging these alongside the hidden states keeps the adapter math
+    consistent with the merged token set (ops/tome.py module docstring)."""
+    if stack is None:
+        return None
+
+    def fit(t):
+        if t is None:
+            return None
+        if t.shape[0] not in (1, b_h):
+            # per-image batch n under the 2n CFG layout: tile like CrossAttention's
+            # folded-path fit(), then merge per-batch
+            t = jnp.tile(t, (b_h // t.shape[0],) + (1,) * (t.ndim - 1))
+        return merge(t)
+
+    if not isinstance(stack, AdapterStack):  # FoldedBias
+        return stack.replace(
+            q_bias=fit(stack.q_bias), k_bias=fit(stack.k_bias),
+            v_bias=fit(stack.v_bias), out_bias=fit(stack.out_bias),
+        )
+
+    def adapt(a):
+        if a is None or a.control is None:
+            return a
+        return a.replace(control=fit(a.control))
+
+    return AdapterStack(
+        main=adapt(stack.main),
+        pre=tuple(adapt(a) for a in stack.pre),
+        post=tuple(adapt(a) for a in stack.post),
+    )
+
+
 class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
@@ -356,7 +393,8 @@ class BasicTransformerBlock(nn.Module):
     tp_size: int = 1
 
     @nn.compact
-    def __call__(self, x, ctx, adapters=None, lora_scale=1.0):
+    def __call__(self, x, ctx, adapters=None, lora_scale=1.0,
+                 tome=None, tome_key=None, grid=None):
         def stack_for(attn_name):
             if not adapters:
                 return None
@@ -364,9 +402,21 @@ class BasicTransformerBlock(nn.Module):
 
         tp = dict(tp_axis=self.tp_axis, tp_size=self.tp_size)
         h = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x + CrossAttention(
-            self.heads, self.dim_head, None, dtype=self.dtype, name="attn1", **tp
-        )(h, None, stack_for("attn1"), lora_scale)
+        if tome is not None:
+            # token merging (ops/tome.py): bipartite match on this block's input,
+            # self-attention runs on the reduced sequence, output unmerges before
+            # the residual add — tomesd's merge_attn placement
+            from controllora_tpu.ops.tome import build_merge
+
+            merge, unmerge, _ = build_merge(x, grid[0], grid[1], tome, tome_key)
+            stack1 = _merge_stack_tokens(stack_for("attn1"), merge, x.shape[0])
+            x = x + unmerge(CrossAttention(
+                self.heads, self.dim_head, None, dtype=self.dtype, name="attn1", **tp
+            )(merge(h), None, stack1, lora_scale))
+        else:
+            x = x + CrossAttention(
+                self.heads, self.dim_head, None, dtype=self.dtype, name="attn1", **tp
+            )(h, None, stack_for("attn1"), lora_scale)
 
         h = LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(
@@ -399,7 +449,8 @@ class Transformer2DModel(nn.Module):
     tp_size: int = 1
 
     @nn.compact
-    def __call__(self, x, ctx, adapters=None, lora_scale=1.0):
+    def __call__(self, x, ctx, adapters=None, lora_scale=1.0,
+                 tome=None, tome_key=None):
         b, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
@@ -410,6 +461,17 @@ class Transformer2DModel(nn.Module):
         else:
             x = conv1(inner, self.dtype, "proj_in")(x)
             x = x.reshape(b, hh * ww, inner)
+        from controllora_tpu.ops.tome import maybe_tome
+
+        block_tome = tome if maybe_tome(tome, hh, ww) else None
+        if block_tome is not None:
+            # distinct (but deterministic) dst grids per module, like tomesd's
+            # advancing generator; crc32 of the layer path is process-stable
+            # (Python hash() is salted and would change the traced program)
+            import zlib
+
+            tome_key = jax.random.fold_in(
+                tome_key, zlib.crc32(self.proc_prefix.encode()) & 0x7FFFFFFF)
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 inner,
@@ -421,7 +483,11 @@ class Transformer2DModel(nn.Module):
                 name=f"transformer_blocks_{i}",
                 tp_axis=self.tp_axis,
                 tp_size=self.tp_size,
-            )(x, ctx, adapters, lora_scale)
+            )(x, ctx, adapters, lora_scale,
+              tome=block_tome,
+              tome_key=None if block_tome is None
+              else jax.random.fold_in(tome_key, i),
+              grid=(hh, ww))
         if self.use_linear_projection:
             x = dense(c, self.dtype, "proj_out")(x)
             x = x.reshape(b, hh, ww, c)
@@ -454,8 +520,28 @@ class UNet2DConditionModel(nn.Module):
         lora_scale: float = 1.0,
         added_text_embeds: Optional[jnp.ndarray] = None,  # (B, pooled_dim), SDXL
         added_time_ids: Optional[jnp.ndarray] = None,  # (B, 6), SDXL
+        tome: Optional[Any] = None,  # ops/tome.py ToMeConfig — serving speed/quality trade
+        tome_key: Optional[jnp.ndarray] = None,  # per-step PRNG key (tome.step_key)
+        deepcache: Optional[str] = None,  # None | "full" | "shallow" (static)
+        deepcache_feat: Optional[jnp.ndarray] = None,  # cached deep feature ("shallow")
     ) -> jnp.ndarray:
+        """`deepcache`: the DeepCache serving acceleration (Ma et al. 2023) —
+        the deep UNet levels change slowly across adjacent denoising steps, so
+        a "full" step additionally RETURNS `(eps, cache)` where `cache` is the
+        feature entering the shallowest up block, and a "shallow" step SKIPS
+        everything below level 0 (deep down blocks, mid, deep up blocks) and
+        substitutes `deepcache_feat` for that feature. The shallow path
+        recomputes exactly the level-0 ops (conv_in, down_blocks[0]
+        resnets/attentions, up_blocks[-1], conv_out) with identical module
+        names, so `shallow(cache_of(full(x))) == full(x)` bit-exactly when
+        inputs match (tests/test_deepcache.py pins this invariant). Opt-in via
+        the pipeline's `deepcache_interval`; never part of the exact path."""
         cfg = self.config
+        if tome is not None and tome_key is None:
+            # default per-step randomness: vary the merge grid with the timestep
+            from controllora_tpu.ops.tome import step_key
+
+            tome_key = step_key(0, timesteps)
         heads_per_block = (
             tuple(cfg.attention_head_dim)
             if isinstance(cfg.attention_head_dim, (tuple, list))
@@ -515,12 +601,20 @@ class UNet2DConditionModel(nn.Module):
         ctx = encoder_hidden_states.astype(self.dtype)
         sample = sample.astype(self.dtype)
 
+        if deepcache not in (None, "full", "shallow"):
+            raise ValueError(f"deepcache must be None|'full'|'shallow', got {deepcache!r}")
+        shallow = deepcache == "shallow"
+        if shallow and deepcache_feat is None:
+            raise ValueError("deepcache='shallow' requires deepcache_feat")
+
         h = conv3(cfg.block_out_channels[0], self.dtype, "conv_in")(sample)
 
         # ---- down
         res_stack: List[jnp.ndarray] = [h]
         out_ch = cfg.block_out_channels[0]
         for bi, btype in enumerate(cfg.down_block_types):
+            if shallow and bi > 0:
+                break  # deep levels are served from the cache
             in_ch, out_ch = out_ch, cfg.block_out_channels[bi]
             is_final = bi == len(cfg.down_block_types) - 1
             for li in range(cfg.layers_per_block):
@@ -545,39 +639,51 @@ class UNet2DConditionModel(nn.Module):
                         name=f"down_blocks_{bi}_attentions_{li}",
                         tp_axis=self.tp_axis,
                         tp_size=self.tp_size,
-                    )(h, ctx, adapters, lora_scale)
+                    )(h, ctx, adapters, lora_scale, tome=tome, tome_key=tome_key)
                 res_stack.append(h)
-            if not is_final:
+            if not is_final and not shallow:
                 h = Downsample2D(out_ch, self.dtype, name=f"down_blocks_{bi}_downsample")(h)
                 res_stack.append(h)
 
-        # ---- mid
-        mid_ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(
-            mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnets_0"
-        )(h, temb)
-        h = Transformer2DModel(
-            heads_per_block[-1],
-            mid_ch // heads_per_block[-1],
-            cfg.cross_attention_dim,
-            depth=depths[-1],
-            groups=cfg.norm_num_groups,
-            use_linear_projection=cfg.use_linear_projection,
-            proc_prefix="mid_block.attentions.0",
-            dtype=self.dtype,
-            name="mid_attentions_0",
-            tp_axis=self.tp_axis,
-            tp_size=self.tp_size,
-        )(h, ctx, adapters, lora_scale)
-        h = ResnetBlock2D(
-            mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnets_1"
-        )(h, temb)
+        if not shallow:
+            # ---- mid
+            mid_ch = cfg.block_out_channels[-1]
+            h = ResnetBlock2D(
+                mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype,
+                name="mid_resnets_0"
+            )(h, temb)
+            h = Transformer2DModel(
+                heads_per_block[-1],
+                mid_ch // heads_per_block[-1],
+                cfg.cross_attention_dim,
+                depth=depths[-1],
+                groups=cfg.norm_num_groups,
+                use_linear_projection=cfg.use_linear_projection,
+                proc_prefix="mid_block.attentions.0",
+                dtype=self.dtype,
+                name="mid_attentions_0",
+                tp_axis=self.tp_axis,
+                tp_size=self.tp_size,
+            )(h, ctx, adapters, lora_scale, tome=tome, tome_key=tome_key)
+            h = ResnetBlock2D(
+                mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype,
+                name="mid_resnets_1"
+            )(h, temb)
 
         # ---- up
+        cache: Optional[jnp.ndarray] = None
+        last_up = len(cfg.up_block_types) - 1
         rev_channels = list(reversed(cfg.block_out_channels))
         rev_heads = list(reversed(heads_per_block))
         rev_depths = list(reversed(depths))
         for bi, btype in enumerate(cfg.up_block_types):
+            if shallow and bi < last_up:
+                continue  # deep up blocks are served from the cache
+            if bi == last_up:
+                if shallow:
+                    h = deepcache_feat.astype(self.dtype)
+                elif deepcache == "full":
+                    cache = h
             out_ch = rev_channels[bi]
             is_final = bi == len(cfg.up_block_types) - 1
             for li in range(cfg.layers_per_block + 1):
@@ -605,14 +711,26 @@ class UNet2DConditionModel(nn.Module):
                         name=f"up_blocks_{bi}_attentions_{li}",
                         tp_axis=self.tp_axis,
                         tp_size=self.tp_size,
-                    )(h, ctx, adapters, lora_scale)
+                    )(h, ctx, adapters, lora_scale, tome=tome, tome_key=tome_key)
             if not is_final:
                 h = Upsample2D(out_ch, self.dtype, name=f"up_blocks_{bi}_upsample")(h)
 
         h = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
         h = conv3(cfg.out_channels, self.dtype, "conv_out")(h)
-        return h.astype(jnp.float32)
+        out = h.astype(jnp.float32)
+        if deepcache == "full":
+            return out, cache
+        return out
+
+
+def deepcache_feat_shape(config: UNetConfig, batch: int, lh: int, lw: int) -> Tuple[int, ...]:
+    """Shape of the DeepCache deep feature: the input to the shallowest up block
+    (the output of up_blocks[-2]'s upsampler — level-0 spatial resolution, the
+    second block width; the mid output for single-level configs)."""
+    chans = config.block_out_channels
+    ch = chans[1] if len(chans) > 1 else chans[0]
+    return (batch, lh, lw, ch)
 
 
 # ------------------------------------------------------------------ processor inventory

@@ -233,6 +233,34 @@ def _find_weights(subdir: str) -> Optional[str]:
     return None
 
 
+def zeros_params(init_fn, *args, dtype=None, **kwargs) -> Any:
+    """Zero-filled params with the exact tree/shape structure of ``init_fn(*args)``.
+
+    ``jax.eval_shape`` traces the init abstractly (no compile, no device work), then
+    ONE trivial jitted broadcast-fill materializes the tree on device. This replaces
+    the full model-init compile (~40-70 s per model through the remote-TPU tunnel)
+    for throughput benchmarks, where weight VALUES are irrelevant: MXU matmul and
+    VPU elementwise latency are data-independent, so zero weights time identically
+    to trained ones (docs/BENCHMARKS.md "measurement traps")."""
+    shapes = jax.eval_shape(init_fn, *args, **kwargs)
+
+    def fill():
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype or s.dtype), shapes)
+
+    return jax.jit(fill)()
+
+
+def zeros_frozen(unet, vae, text_encoder, latent_size: int = 8,
+                 param_dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """`random_frozen`-shaped tree, zero-filled via eval_shape (benchmark fast path)."""
+    rng = jax.random.PRNGKey(0)
+    tree = zeros_params(
+        lambda: random_frozen(rng, unet, vae, text_encoder, latent_size=latent_size,
+                              param_dtype=param_dtype)
+    )
+    return tree
+
+
 def random_frozen(rng: jax.Array, unet, vae, text_encoder, latent_size: int = 8,
                   param_dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Randomly initialized frozen stack (hermetic smoke runs / benchmarks)."""

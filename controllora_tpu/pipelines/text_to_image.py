@@ -213,7 +213,8 @@ class StableDiffusionControlLoRAPipeline:
                        use_control: bool, start_index: int = 0,
                        img2img: bool = False, inpaint: bool = False,
                        decode: bool = True, end_index: Optional[int] = None,
-                       continuation: bool = False, per_image_ctx: bool = False):
+                       continuation: bool = False, per_image_ctx: bool = False,
+                       tome=None, deepcache_interval: int = 1):
         """`start_index`/`img2img`/`inpaint`: the SDEdit image-to-image mode —
         the scan runs only grid indices [start_index, num_inference_steps), the
         incoming `latents` are VAE-encoded init latents that get noised to the
@@ -227,7 +228,8 @@ class StableDiffusionControlLoRAPipeline:
         a partial trajectory from raw state-frame latents WITHOUT re-noising
         (refiner side)."""
         key = (num_inference_steps, latent_hw, use_control, start_index,
-               img2img, inpaint, decode, end_index, continuation, per_image_ctx)
+               img2img, inpaint, decode, end_index, continuation, per_image_ctx,
+               tome, deepcache_interval)
         if key in self._sample_cache:
             return self._sample_cache[key]
 
@@ -387,30 +389,63 @@ class StableDiffusionControlLoRAPipeline:
                     new_state = set_sample(new_state, m * cur + (1.0 - m) * tgt)
                 return new_state
 
-            def body(state, i):
+            def unet_eps(inp, t, m, cache, i):
+                """One UNet evaluation; under `deepcache_interval` > 1 the deep
+                levels run only every interval-th step (lax.cond full/shallow,
+                ops per models/unet.py deepcache docstring) and `cache` carries
+                the deep feature between steps."""
+                kw = dict(tome=tome, **added_kwargs(m))
+
+                def call(**dkw):
+                    return unet_mod.apply(
+                        {"params": unet_params}, inp, t, ctx_n, adapters,
+                        lora_scale, **kw, **dkw,
+                    )
+
+                if deepcache_interval <= 1:
+                    return call(), cache
+
+                def full_fn(_):
+                    return call(deepcache="full")
+
+                def shallow_fn(cache):
+                    return call(deepcache="shallow", deepcache_feat=cache), cache
+
+                return jax.lax.cond(
+                    (i - start_index) % deepcache_interval == 0,
+                    full_fn, shallow_fn, cache,
+                )
+
+            def body(carry, i):
+                state, cache = carry
                 lat = model_input(state, i)
                 if cfg_split:
                     t = jnp.broadcast_to(ts[i], (n,))
-                    eps = unet_mod.apply(
-                        {"params": unet_params}, lat, t, ctx_n, adapters, lora_scale,
-                        **added_kwargs(n),
-                    )
+                    eps, cache = unet_eps(lat, t, n, cache, i)
                     eps_g = jax.lax.psum(
                         eps.astype(jnp.float32) * cfg_w.astype(jnp.float32), "cfg"
                     )
-                    return tail(state, eps_g, i), None
+                    return (tail(state, eps_g, i), cache), None
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 t = jnp.broadcast_to(ts[i], (lat2.shape[0],))
-                eps = unet_mod.apply(
-                    {"params": unet_params}, lat2, t, ctx_n, adapters, lora_scale,
-                    **added_kwargs(lat2.shape[0]),
-                )
+                eps, cache = unet_eps(lat2, t, lat2.shape[0], cache, i)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps_g = eps_u + guidance_scale * (eps_c - eps_u)
-                return tail(state, eps_g, i), None
+                return (tail(state, eps_g, i), cache), None
 
-            state, _ = jax.lax.scan(
-                body, state,
+            if deepcache_interval > 1:
+                from controllora_tpu.models.unet import deepcache_feat_shape
+
+                b_eval = n if cfg_split else 2 * n
+                cache0 = jnp.zeros(
+                    deepcache_feat_shape(self.unet.config, b_eval,
+                                         latents.shape[1], latents.shape[2]),
+                    self.unet.dtype,
+                )
+            else:
+                cache0 = jnp.zeros((), self.unet.dtype)  # unused placeholder
+            (state, _), _ = jax.lax.scan(
+                body, (state, cache0),
                 jnp.arange(start_index,
                            num_inference_steps if end_index is None else end_index),
             )
@@ -544,8 +579,26 @@ class StableDiffusionControlLoRAPipeline:
         negative_aesthetic_score: float = 2.5,
         return_array: bool = False,
         return_latents: bool = False,
+        tome_ratio: float = 0.0,
+        tome_min_tokens: int = 4096,
+        deepcache_interval: int = 1,
     ):
         """Returns a list of HWC uint8 images (or float arrays in [-1,1]).
+
+        `deepcache_interval` (1 disables — the default and the exact path):
+        DeepCache (Ma et al. 2023) — the deep UNet levels run only every
+        interval-th denoising step; in between, a cached deep feature is
+        substituted and only the level-0 ops recompute (models/unet.py
+        `deepcache` docstring). Interval 2-3 is the published speed/quality
+        range; composes with `tome_ratio` and every mesh axis.
+
+        `tome_ratio` (0 disables — the default and the exact path): token merging
+        (ops/tome.py, the tomesd method) — before each level-0 self-attention,
+        the given fraction of spatially redundant tokens merges into their
+        most-similar neighbours and the output unmerges, cutting the quadratic
+        attention cost ~(1-ratio)² for a small quality trade. 0.5 is the
+        published sweet spot at 512². Composes with guides/folding (the folded
+        per-position biases merge with the same token map) and the mesh axes.
 
         `image` + `strength`: image-to-image (SDEdit) — the init image is
         VAE-encoded (posterior mode), noised to the strength-selected grid
@@ -662,10 +715,12 @@ class StableDiffusionControlLoRAPipeline:
             )
         if extra_loras:
             adapters = merge_extra_loras(adapters or {}, extra_loras, extra_loras_where)
+        extra_guide_batches = []
         if extra_controls:
             for cl2, params2, guide2 in extra_controls:
                 g2 = jnp.asarray(guide2)
                 g2 = g2[None] if g2.ndim == 3 else g2
+                extra_guide_batches.append(g2.shape[0])
                 adapters = merge_extra_controls(
                     adapters or {}, cl2(params2, g2, self.unet.config),
                     extra_controls_where,
@@ -702,12 +757,34 @@ class StableDiffusionControlLoRAPipeline:
                     f"out of range for {num_inference_steps} steps"
                 )
 
+        tome = None
+        if tome_ratio:
+            from controllora_tpu.ops.tome import ToMeConfig
+
+            if not 0.0 < tome_ratio <= 0.75:
+                raise ValueError(
+                    f"tome_ratio must be in (0, 0.75] (max merge = the 3/4 src "
+                    f"fraction of the 2x2 dst grid), got {tome_ratio}"
+                )
+            # min_tokens: only blocks at least this long merge (default: level-0
+            # at 512², tomesd's max_downsample=1; tests lower it for smoke widths)
+            tome = ToMeConfig(ratio=float(tome_ratio),
+                              min_tokens=int(tome_min_tokens))
+
+        deepcache_interval = int(deepcache_interval)
+        if deepcache_interval < 1:
+            raise ValueError(
+                f"deepcache_interval must be >= 1 (1 = exact path), "
+                f"got {deepcache_interval}"
+            )
+
         sampler = self._build_sampler(
             num_inference_steps, (lh, lw), adapters is not None,
             start_index=start_index, img2img=image is not None,
             inpaint=mask is not None, decode=not return_latents,
             end_index=end_index, continuation=denoising_start is not None,
-            per_image_ctx=per_image_ctx,
+            per_image_ctx=per_image_ctx, tome=tome,
+            deepcache_interval=deepcache_interval,
         )
         foldable = bool(adapters) and all(
             s.main is not None and not s.pre and not s.post for s in adapters.values()
@@ -763,6 +840,15 @@ class StableDiffusionControlLoRAPipeline:
                 f"guide batch {guide.shape[0]} must be 1 (shared) or match the "
                 f"image batch {n} (per-image guides)"
             )
+        for m in extra_guide_batches:
+            # same contract as the main guide: a batch that merely divides the
+            # 2n CFG layout (e.g. 2 with n=3) would tile misaligned in
+            # _match_batch instead of erroring
+            if m not in (1, n):
+                raise ValueError(
+                    f"extra_controls guide batch {m} must be 1 (shared) or match "
+                    f"the image batch {n} (per-image guides)"
+                )
         if self.mesh is not None:
             n_dev = dict(self.mesh.shape).get("data", 1)
             if n % n_dev:

@@ -55,6 +55,7 @@ class Request:
     # internal
     _latents: Any = field(default=None, repr=False)
     _future: Any = field(default=None, repr=False)
+    _guide_fp: Any = field(default=None, repr=False)  # guide identity on a data mesh
 
     @property
     def group_key(self):
@@ -64,7 +65,7 @@ class Request:
         return (
             self.num_inference_steps, self.height, self.width,
             float(self.guidance_scale), float(self.lora_scale),
-            self.guide is not None, self.return_array,
+            self.guide is not None, self.return_array, self._guide_fp,
         )
 
 
@@ -74,16 +75,33 @@ class BatchingEngine:
         pipe,
         max_wait_ms: float = 25.0,
         buckets: Sequence[int] = (1, 2, 4, 8),
+        pipe_kwargs: Optional[Dict[str, Any]] = None,
     ):
         """`pipe`: a StableDiffusionControlLoRAPipeline (any model family / mesh).
         `max_wait_ms`: how long a forming batch waits for companions once it has
         its first request. `buckets`: allowed batch shapes (sorted ascending);
-        the largest is the batch-size cap."""
+        the largest is the batch-size cap. `pipe_kwargs`: extra kwargs applied to
+        EVERY batched pipeline call — the deployment-level speed/quality knobs
+        (`tome_ratio=`, `deepcache_interval=`); engine-wide (not per-request) so
+        they never fragment the compatibility groups or the compiled-program set."""
         self.pipe = pipe
+        self.pipe_kwargs = dict(pipe_kwargs or {})
         self.max_wait_ms = float(max_wait_ms)
         self.buckets = tuple(sorted(int(b) for b in buckets))
         if not self.buckets or self.buckets[0] < 1:
             raise ValueError(f"buckets must be positive ints, got {buckets!r}")
+        # Mesh-aware bucket snapping: the data-parallel pipeline requires the
+        # image batch to be a multiple of the mesh 'data' axis
+        # (pipelines/text_to_image.py "data-parallel serving shards ..."), so
+        # under-full buckets snap UP to the next multiple — a lone request on a
+        # data-4 mesh renders as a padded batch of 4 instead of erroring.
+        self._data_axis = 1
+        mesh = getattr(pipe, "mesh", None)
+        if mesh is not None:
+            self._data_axis = int(dict(mesh.shape).get("data", 1))
+        if self._data_axis > 1:
+            d = self._data_axis
+            self.buckets = tuple(sorted({((b + d - 1) // d) * d for b in self.buckets}))
         self._q: "queue.Queue[Request]" = queue.Queue()
         self._held: list = []  # incompatible leftovers, FIFO priority next round
         self._stop = threading.Event()
@@ -117,6 +135,11 @@ class BatchingEngine:
         req._latents = np.asarray(jax.random.normal(
             jax.random.PRNGKey(req.seed), (1, lh, lw, c), np.float32
         ))
+        # Data-parallel meshes accept only a single replicated guide per batched
+        # call, so guided requests coalesce by guide IDENTITY: the fingerprint
+        # joins the group key and _run passes one shared (H, W, 3) guide.
+        if self._data_axis > 1 and req.guide is not None:
+            req._guide_fp = hash(req.guide.tobytes())
         req._future = Future()
         self._q.put(req)
         return req._future
@@ -174,6 +197,7 @@ class BatchingEngine:
         reqs = batch + [batch[-1]] * pad  # padded slots repeat the last request
         first = batch[0]
         kw: Dict[str, Any] = dict(
+            self.pipe_kwargs,
             negative_prompt=[r.negative_prompt for r in reqs],
             num_inference_steps=first.num_inference_steps,
             guidance_scale=first.guidance_scale,
@@ -183,7 +207,11 @@ class BatchingEngine:
             return_array=first.return_array,
         )
         if first.guide is not None:
-            kw["guide"] = np.stack([r.guide for r in reqs])
+            if self._data_axis > 1:
+                # mesh path: one replicated guide (the group key pinned identity)
+                kw["guide"] = first.guide
+            else:
+                kw["guide"] = np.stack([r.guide for r in reqs])
         try:
             t0 = time.monotonic()
             imgs = self.pipe([r.prompt for r in reqs], **kw)

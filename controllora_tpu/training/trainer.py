@@ -237,12 +237,16 @@ class ControlLoRATrainer:
 
     # ------------------------------------------------------------------ steps
 
-    def make_train_step(self) -> Callable:
+    def make_train_step(self, return_grads: bool = False) -> Callable:
         """Build the jitted train step. Under a mesh, batch arrives sharded over 'data'
         and the state replicated; XLA emits the gradient all-reduce.
 
         Returns a wrapper with the historical (state, batch, rng) signature; the
-        frozen stack is threaded as an argument of the underlying jit (see _loss_fn)."""
+        frozen stack is threaded as an argument of the underlying jit (see _loss_fn).
+
+        `return_grads` adds the (all-reduced) gradient tree to the metrics dict —
+        used by dp-correctness checks (__graft_entry__.dryrun_multichip) so one
+        compiled program serves both the update and the gradient comparison."""
 
         def step_fn(state: TrainState, frozen, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
             # rng is used as given — the driver derives a per-step key
@@ -259,7 +263,10 @@ class ControlLoRATrainer:
             new_state = TrainState(
                 step=state.step + 1, params=params, opt_state=opt_state
             )
-            return new_state, {"loss": loss, "grad_norm": gnorm}
+            metrics = {"loss": loss, "grad_norm": gnorm}
+            if return_grads:
+                metrics["grads"] = grads
+            return new_state, metrics
 
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())

@@ -67,6 +67,13 @@ def parse_args(argv=None):
                    help="base/refiner handoff point as a schedule fraction")
     p.add_argument("--aesthetic_score", type=float, default=6.0)
     p.add_argument("--negative_aesthetic_score", type=float, default=2.5)
+    p.add_argument("--tome_ratio", type=float, default=0.0,
+                   help="token-merging ratio (ops/tome.py; 0 = exact path, "
+                        "0.5 = published speed/quality sweet spot at 512^2)")
+    p.add_argument("--deepcache_interval", type=int, default=1,
+                   help="DeepCache: deep UNet levels run every N-th step, "
+                        "cached in between (1 = exact path; 2-3 = published "
+                        "speed/quality range; composes with --tome_ratio)")
     p.add_argument("--serving_mesh", type=str, default=None,
                    help="multi-chip serving axes, e.g. 'data' (shard the image "
                         "batch), 'cfg' (split the guidance pair, halves batch-1 "
@@ -258,6 +265,8 @@ def main(argv=None):
         print(f"two-stage render: base [0, {args.denoising_split}) -> refiner")
 
     def render(prompt, k, return_array=False, **kw):
+        kw.setdefault("tome_ratio", args.tome_ratio)
+        kw.setdefault("deepcache_interval", args.deepcache_interval)
         if refiner_pipe is None:
             return pipe(prompt, rng=k, return_array=return_array, **kw)[0]
         lat = pipe(prompt, rng=k, denoising_end=args.denoising_split,

@@ -53,7 +53,16 @@ def parse_args(argv=None):
                    help="allowed batch shapes (compiled once each); "
                         "bench-measured optimum is 4 per chip")
     p.add_argument("--warmup", action="store_true",
-                   help="compile every bucket at 512^2/20 steps before listening")
+                   help="compile every bucket at 512^2/20 steps before listening "
+                        "(guided AND unguided programs when a ControlLoRA is loaded)")
+    p.add_argument("--result_timeout_s", type=float, default=600.0,
+                   help="per-request cap on waiting for the engine; 504 past it")
+    p.add_argument("--tome_ratio", type=float, default=0.0,
+                   help="deployment-wide token merging (0 = exact; 0.5 = "
+                        "published sweet spot) applied to every batch")
+    p.add_argument("--deepcache_interval", type=int, default=1,
+                   help="deployment-wide DeepCache interval (1 = exact; 2-3 = "
+                        "published speed/quality range) applied to every batch")
     return p.parse_args(argv)
 
 
@@ -101,7 +110,10 @@ def build_pipeline(args):
     )
 
 
-def build_server(engine, host: str, port: int) -> ThreadingHTTPServer:
+def build_server(engine, host: str, port: int,
+                 result_timeout_s: float = 600.0) -> ThreadingHTTPServer:
+    from concurrent.futures import TimeoutError as FutureTimeout
+
     from apps._webui import _decode_image, _png_bytes
 
     class Handler(BaseHTTPRequestHandler):
@@ -143,12 +155,19 @@ def build_server(engine, host: str, port: int) -> ThreadingHTTPServer:
                     g = _decode_image(base64.b64decode(req["guide"]))
                     kw["guide"] = g.astype(np.float32) / 127.5 - 1.0
                 t0 = time.monotonic()
-                img = engine.submit(str(req.get("prompt", "")), **kw).result()
+                # bounded wait: a wedged/stopped engine worker must not pin
+                # this connection (and its server thread) forever
+                img = engine.submit(str(req.get("prompt", "")), **kw).result(
+                    timeout=result_timeout_s)
                 payload = json.dumps({
                     "image": base64.b64encode(_png_bytes(img)).decode("ascii"),
                     "seconds": round(time.monotonic() - t0, 3),
                 }).encode("utf-8")
                 self._send(200, "application/json", payload)
+            except FutureTimeout:
+                self._send(504, "application/json", json.dumps({
+                    "error": f"render exceeded {result_timeout_s:.0f}s engine budget"
+                }).encode("utf-8"))
             except Exception as e:
                 self._send(500, "application/json",
                            json.dumps({"error": str(e)}).encode("utf-8"))
@@ -162,16 +181,32 @@ def main(argv=None):
 
     pipe = build_pipeline(args)
     buckets = tuple(int(b) for b in args.buckets.split(","))
-    engine = BatchingEngine(pipe, max_wait_ms=args.max_wait_ms, buckets=buckets)
+    speed_kw = {}
+    if args.tome_ratio:
+        speed_kw["tome_ratio"] = args.tome_ratio
+    if args.deepcache_interval > 1:
+        speed_kw["deepcache_interval"] = args.deepcache_interval
+    engine = BatchingEngine(pipe, max_wait_ms=args.max_wait_ms, buckets=buckets,
+                            pipe_kwargs=speed_kw)
     if args.warmup:
-        # compile each bucket's program before taking traffic
-        for b in buckets:
-            futs = [engine.submit(f"warmup {i}", num_inference_steps=20)
-                    for i in range(b)]
-            for f in futs:
-                f.result()
-        print(f"warmup done: buckets {buckets} compiled")
-    server = build_server(engine, args.host, args.port)
+        # compile each bucket's program before taking traffic — engine.buckets
+        # (mesh-snapped), and BOTH the unguided and guided programs when a
+        # ControlLoRA is loaded (they are distinct compiled samplers: use_control
+        # is part of the sampler cache key)
+        variants = [dict()]
+        if pipe.control_lora is not None:
+            variants.append(dict(
+                guide=np.zeros((512, 512, 3), np.float32)))
+        for kw in variants:
+            for b in engine.buckets:
+                futs = [engine.submit(f"warmup {i}", num_inference_steps=20, **kw)
+                        for i in range(b)]
+                for f in futs:
+                    f.result()
+        print(f"warmup done: buckets {engine.buckets} compiled "
+              f"({'guided+unguided' if len(variants) == 2 else 'unguided'})")
+    server = build_server(engine, args.host, args.port,
+                          result_timeout_s=args.result_timeout_s)
     print(f"serving at http://{args.host}:{server.server_address[1]}/ "
           f"(buckets {buckets}, max_wait {args.max_wait_ms} ms)")
     try:

@@ -19,9 +19,16 @@ jax.config.update("jax_platforms", "cpu")
 # training tests each jit multi-hundred-op programs on a single-core container), so the
 # first run pays full compile cost and every later run replays cached executables. This
 # is what keeps the full suite under the CI time budget on repeat runs.
-_CACHE_DIR = os.environ.get(
+# The directory is suffixed with a host-CPU fingerprint (utils/hostcache.py): XLA
+# loads foreign-ISA AOT entries with only a warning, and a container rescheduled
+# onto a different host would otherwise replay executables that can SIGILL or
+# corrupt numerics.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from controllora_tpu.utils.hostcache import fingerprinted  # noqa: E402
+
+_CACHE_DIR = fingerprinted(os.environ.get(
     "CONTROLLORA_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
-)
+))
 # Set via env (not only the config API) so tests that spawn fresh-JAX subprocesses
 # (test_entry, test_distributed) share the same cache.
 os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR

@@ -182,6 +182,14 @@ def test_validation_errors(pipe):
              num_images=2)
     with pytest.raises(ValueError, match="negative"):
         pipe(PROMPTS, negative_prompt=["only one"], num_inference_steps=2)
+    # extra_controls guides carry the same 1-or-n contract as the main guide:
+    # a batch that merely divides the CFG layout (2 with n=3) must error, not
+    # tile misaligned in _match_batch
+    lats3 = jnp.zeros((3, 8, 8, 4), jnp.float32)
+    extra = [(pipe.control_lora, pipe.control_params,
+              np.stack([make_guide()] * 2))]
+    with pytest.raises(ValueError, match="extra_controls guide batch"):
+        pipe("x", num_inference_steps=2, latents=lats3, extra_controls=extra)
 
 
 def test_control_batch_tiles_not_interleaves():

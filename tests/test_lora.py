@@ -103,9 +103,13 @@ def test_control_v1_self_add_requires_matching_channels():
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4)
 
 
-def test_concat_hidden_cfg_batch_repeat():
-    """Control batch B broadcast to hidden batch 2B by repeat-interleave
-    (reference models.py:209-212)."""
+def test_concat_hidden_cfg_batch_tile():
+    """Control batch B broadcast to hidden batch 2B by TILING — a deliberate
+    deviation from the reference's repeat-interleave (models.py:209-212), which
+    only ever runs control batch 1 where the two agree. Under this pipeline's
+    block CFG layout [u1..un ‖ c1..cn], tiling pairs guide i with hidden rows
+    i and B+i; interleave would misalign every sample but the first (see
+    tests/test_batch_serving.py::test_control_batch_tiles_not_interleaves)."""
     B, L, H, C = 2, 4, 8, 6
     h = jax.random.normal(jax.random.PRNGKey(1), (2 * B, L, H))
     c = jax.random.normal(jax.random.PRNGKey(2), (B, L, C))
@@ -113,7 +117,7 @@ def test_concat_hidden_cfg_batch_repeat():
     spec = AdapterSpec(kind="control_v1", concat_hidden=True, control_self_add=False)
     a = AttnAdapter(params=params, control=c, spec=spec)
     got = process_control_states(a, h, 1.0)
-    c_rep = np.repeat(np.asarray(c), 2, axis=0)
+    c_rep = np.tile(np.asarray(c), (2, 1, 1))
     expect = np_lora(params["to_control"], np.concatenate([np.asarray(h), c_rep], -1))
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4)
 

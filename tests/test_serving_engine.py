@@ -100,20 +100,114 @@ def test_incompatible_requests_split_batches(pipe):
         eng.stop()
 
 
+class _FlakyPipe:
+    """Delegating pipeline wrapper whose first `fail_times` calls raise inside
+    the engine worker — exercises the batch-failure path (futures rejected,
+    stats['errors'] counted, worker keeps serving)."""
+
+    def __init__(self, inner, fail_times=1):
+        self._inner = inner
+        self._fail_times = fail_times
+        self.calls = 0
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def __call__(self, *args, **kwargs):
+        self.calls += 1
+        if self.calls <= self._fail_times:
+            raise RuntimeError("injected batch failure")
+        return self._inner(*args, **kwargs)
+
+
 def test_error_isolation(pipe):
     """A failing batch rejects its own futures and the engine keeps serving."""
-    eng = BatchingEngine(pipe, max_wait_ms=50.0, buckets=(1, 2))
+    flaky = _FlakyPipe(pipe, fail_times=1)
+    eng = BatchingEngine(flaky, max_wait_ms=3000.0, buckets=(1, 2))
     try:
-        bad = eng.submit("x", seed=1, num_inference_steps=2, height=64, width=64,
-                         guide=np.zeros((64, 64, 3), np.float32),
-                         return_array=True)
-        # sabotage: a guide whose spatial shape can't feed the hint encoder
-        bad2 = eng.submit("y", seed=2, **COMMON)
-        assert bad.result(timeout=600) is not None
-        assert bad2.result(timeout=600) is not None
+        # both requests coalesce into the batch that fails inside the worker
+        f1 = eng.submit("x", seed=1, **COMMON)
+        f2 = eng.submit("y", seed=2, **COMMON)
+        with pytest.raises(RuntimeError, match="injected batch failure"):
+            f1.result(timeout=600)
+        with pytest.raises(RuntimeError, match="injected batch failure"):
+            f2.result(timeout=600)
+        assert eng.stats["errors"] == 1
+        # the worker survived: a subsequent request renders normally
+        ok = eng.submit("z", seed=3, **COMMON).result(timeout=600)
+        np.testing.assert_allclose(ok, solo_render(pipe, "z", 3), atol=5e-4)
+        assert eng.stats["requests"] == 1  # only the successful one counted
+        # submit-time validation is separate from worker failures
         with pytest.raises(ValueError, match="guide shape"):
-            eng.submit("z", seed=3, guide=np.zeros((32, 32, 3), np.float32),
+            eng.submit("w", seed=4, guide=np.zeros((32, 32, 3), np.float32),
                        **COMMON)
+        assert eng.stats["errors"] == 1
+    finally:
+        eng.stop()
+
+
+@pytest.fixture(scope="module")
+def meshed_pipe():
+    """Same smoke stack on a 2-device data mesh (virtual CPU devices)."""
+    from controllora_tpu.parallel import make_mesh
+
+    unet, vae, text = zoo.build_models("smoke", dtype=jnp.float32)
+    frozen = zoo.random_frozen(jax.random.PRNGKey(0), unet, vae, text,
+                               latent_size=8, param_dtype=jnp.float32)
+    cl = ControlLoRA(TINY_CONTROL)
+    cp = jax.tree.map(lambda x: x + 0.01,
+                      cl.init(jax.random.PRNGKey(1), image_size=64))
+    mesh = make_mesh(devices=jax.devices()[:2])
+    return StableDiffusionControlLoRAPipeline(
+        unet, vae, text, HashTokenizer(), frozen, cl, cp, mesh=mesh
+    )
+
+
+def test_mesh_bucket_snapping(meshed_pipe):
+    """On a data-2 mesh, buckets snap UP to multiples of the data axis so
+    under-full batches never violate the pipeline's n %% mesh check."""
+    eng = BatchingEngine(meshed_pipe, max_wait_ms=10.0, buckets=(1, 2, 4))
+    eng.stop()
+    assert eng.buckets == (2, 4)
+
+
+def test_mesh_lone_guided_request(pipe, meshed_pipe):
+    """A lone guided request on a data mesh pads to the snapped bucket and
+    renders the same image as the unmeshed solo render."""
+    eng = BatchingEngine(meshed_pipe, max_wait_ms=30.0, buckets=(1, 2))
+    try:
+        img = eng.submit("solo on mesh", seed=11, guide=make_guide(),
+                         **COMMON).result(timeout=600)
+        assert eng.stats["batch_sizes"] == {2: 1}
+        assert eng.stats["padded_slots"] == 1
+        ref = solo_render(pipe, "solo on mesh", 11, guide=make_guide())
+        # sharded vs single-device GEMM reassociation (same bound as
+        # __graft_entry__.dryrun_multichip's serve check)
+        np.testing.assert_allclose(img, ref, atol=2e-3)
+    finally:
+        eng.stop()
+
+
+def test_mesh_guided_traffic_groups_by_guide(pipe, meshed_pipe):
+    """Guided requests on a data mesh coalesce only with identical guides
+    (the mesh supports one replicated guide per call); different guides
+    render in separate batches, each still correct."""
+    g1 = make_guide()
+    g2 = -make_guide()
+    eng = BatchingEngine(meshed_pipe, max_wait_ms=3000.0, buckets=(1, 2))
+    try:
+        futs = [
+            eng.submit("a", seed=21, guide=g1, **COMMON),
+            eng.submit("b", seed=22, guide=g1, **COMMON),
+            eng.submit("c", seed=23, guide=g2, **COMMON),
+        ]
+        imgs = [f.result(timeout=600) for f in futs]
+        assert eng.stats["batches"] == 2  # {a,b} share g1; c renders alone
+        assert eng.stats["errors"] == 0
+        for (prompt, seed, g), img in zip(
+                [("a", 21, g1), ("b", 22, g1), ("c", 23, g2)], imgs):
+            ref = solo_render(pipe, prompt, seed, guide=g)
+            np.testing.assert_allclose(img, ref, atol=2e-3)
     finally:
         eng.stop()
 
@@ -156,4 +250,24 @@ def test_http_server_end_to_end(pipe):
         assert stats["requests"] >= 1
     finally:
         server.shutdown()
+        eng.stop()
+
+
+def test_engine_pipe_kwargs_speed_knobs(pipe):
+    """Engine-wide pipe_kwargs (the serve.py --tome_ratio/--deepcache_interval
+    deployment knobs) apply to every batch: the accelerated render differs from
+    the exact solo render but stays finite and deterministic across batches."""
+    eng = BatchingEngine(pipe, max_wait_ms=50.0, buckets=(1, 2),
+                         pipe_kwargs=dict(deepcache_interval=2, tome_ratio=0.5,
+                                          tome_min_tokens=0))
+    try:
+        kw = dict(COMMON, num_inference_steps=4)
+        a = eng.submit("knobs", seed=31, **kw).result(timeout=600)
+        b = eng.submit("knobs", seed=31, **kw).result(timeout=600)
+        assert np.isfinite(a).all()
+        np.testing.assert_array_equal(a, b)
+        exact = solo_render(pipe, "knobs", 31, steps=4)
+        assert np.abs(a.astype(np.float32) - exact.astype(np.float32)).max() > 0
+        assert eng.stats["errors"] == 0
+    finally:
         eng.stop()
