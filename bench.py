@@ -1,9 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "serving_mfu": N, "train_mfu": N,
    "train_steps_per_sec_chip": N, "train_imgs_per_sec_chip": N,
-   "train_cached_steps_per_sec_chip": N, "train_cached_imgs_per_sec_chip": N,
-   "train_batch": N}
+   "train_cached_steps_per_sec_chip": N, "train_b16_steps_per_sec_chip": N, ...}
 
 Headline metric (BASELINE.json): images/sec/chip — SD1.5 + ControlLoRA guided sampling,
 512², 20-step CFG, DPM-Solver++ 2M. The driver-set serving target is >=2 images/sec/chip
@@ -14,12 +14,24 @@ driver's time budget (BENCH_r03.json rc=124). The train_* fields carry the secon
 BASELINE target (train steps/sec/chip, 512² batch 8, encode-per-step, best measured
 config: no remat + bf16 hint compute — see docs/BENCHMARKS.md).
 
-Time-budget discipline (round 4): the driver kills the process at ~600 s. Sections run
-headline-first (serving batch 4 → train → cached-train → serving batch 1) and each
-section is gated on the time remaining (BENCH_BUDGET_S, default 560); a watchdog thread
-emits the best-so-far JSON line and exits 0 if a compile overruns the budget, so the
-driver always gets a parseable line. A persistent XLA compilation cache under
-~/.cache/controllora_jax makes warm re-runs complete in well under a minute.
+Time-budget discipline (round 5): the driver kills the process at ~600 s, and the
+remote-tunnel compile service is wildly variable (the identical batch-4 program has
+compiled in anywhere from 155 s to >545 s across round-4 runs). Defenses:
+  * sections run CHEAPEST-COMPILE-FIRST (serving batch 1 → batch 4 → train → cached →
+    batch-16 train → tome → turbo) and the headline `value` is updated after EVERY
+    serving section, so the watchdog always has a real number to emit;
+  * each section after the first is gated on the worst compile time OBSERVED in this
+    process (scaled 1.25x + runtime margin), not an optimistic constant — a cold first
+    compile makes the gates pessimistic, a warm cache lets everything run;
+  * a persistent XLA compilation cache (~/.cache/controllora_jax-<host-fp>) makes warm
+    re-runs complete in well under the budget; the build round's last act is a full
+    bench run precisely to leave that cache warm for the driver.
+
+MFU: each section AOT-compiles (jit .lower().compile()), reads XLA's own
+cost_analysis() flop count for the exact program measured, and reports
+flops / (time * bf16 peak) for the device kind (v5e = 197 Tflop/s bf16). This is the
+honest utilization number behind the throughput (docs/BENCHMARKS.md "MFU & the 3x
+training anchor").
 
 Measurement methodology: N sampler invocations are CHAINED (each consumes the previous
 output as its initial latents), so asynchronous dispatch cannot overlap or hide latency;
@@ -82,13 +94,45 @@ def log(msg: str) -> None:
     print(f"[{time.time()-T0:6.1f}s] {msg}", file=sys.stderr)
 
 
+# bf16 peak matmul throughput per chip, by device_kind prefix
+_PEAK_BF16 = (
+    ("TPU v5 lite", 197e12),
+    ("TPU v5e", 197e12),
+    ("TPU v5p", 459e12),
+    ("TPU v5", 197e12),
+    ("TPU v4", 275e12),
+    ("TPU v6 lite", 918e12),
+    ("TPU v6e", 918e12),
+)
+
+
+def _peak_flops(dev) -> float:
+    kind = getattr(dev, "device_kind", "")
+    for prefix, peak in _PEAK_BF16:
+        if kind.startswith(prefix):
+            return peak
+    return 197e12  # conservative default (v5e)
+
+
+def _compiled_flops(compiled) -> float:
+    """XLA's own flop count for the compiled program (0.0 if unavailable)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0) or 0.0)
+    except Exception as e:  # cost analysis is informational, never required
+        log(f"cost_analysis unavailable: {e}")
+        return 0.0
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
 
-    # Persistent compile cache: first (cold) run pays the 100-130 s XLA compiles;
-    # any warm re-run in the same container finishes in well under a minute.
+    # Persistent compile cache: first (cold) run pays the 100-550 s XLA compiles;
+    # any warm re-run in the same container finishes in well under the budget.
     # Host-fingerprinted (utils/hostcache.py): foreign-ISA AOT entries from a
     # previous host would otherwise load with only a warning and can corrupt.
     try:
@@ -115,7 +159,10 @@ def main():
     from controllora_tpu.schedulers import DPMSolverMultistepScheduler
 
     dev = jax.devices()[0]
-    log(f"device: {dev}")
+    peak = _peak_flops(dev)
+    log(f"device: {dev} (bf16 peak {peak/1e12:.0f} Tflop/s)")
+    RESULT["device_kind"] = getattr(dev, "device_kind", str(dev))
+    RESULT["peak_bf16_tflops"] = peak / 1e12
 
     # Training anchor (BASELINE.md: "≥3× A100 steps/sec/chip"). Preference order:
     # a MEASURED reference number (BASELINE_TORCH.json, produced by
@@ -148,20 +195,27 @@ def main():
     ctx2 = jnp.zeros((2, 77, 768), dtype)
     guide = jnp.zeros((1, 512, 512, 3), jnp.float32)
 
-    t0 = time.time()
-    unet_params = zeros_params(
-        lambda k: unet.init(k, latents0, jnp.zeros((1,), jnp.int32), ctx2[:1])["params"],
-        jax.random.PRNGKey(0), dtype=dtype,
-    )
-    vae_params = zeros_params(
-        lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3)))["params"],
-        jax.random.PRNGKey(1), dtype=dtype,
-    )
-    control_params = zeros_params(
-        lambda k: control._init_impl(k, 512), jax.random.PRNGKey(2),
-    )
-    jax.block_until_ready(control_params)
-    log(f"init (eval_shape zero-fill): {time.time()-t0:.1f}s")
+    unet_params = vae_params = control_params = None
+
+    def build_serving_params():
+        nonlocal unet_params, vae_params, control_params
+        if unet_params is not None:
+            return
+        t0 = time.time()
+        unet_params = zeros_params(
+            lambda k: unet.init(k, latents0, jnp.zeros((1,), jnp.int32),
+                                ctx2[:1])["params"],
+            jax.random.PRNGKey(0), dtype=dtype,
+        )
+        vae_params = zeros_params(
+            lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3)))["params"],
+            jax.random.PRNGKey(1), dtype=dtype,
+        )
+        control_params = zeros_params(
+            lambda k: control._init_impl(k, 512), jax.random.PRNGKey(2),
+        )
+        jax.block_until_ready(control_params)
+        log(f"serving params (eval_shape zero-fill): {time.time()-t0:.1f}s")
 
     steps = 20
     sch = DPMSolverMultistepScheduler()
@@ -181,6 +235,10 @@ def main():
 
             def unet_eps(lat2, t, cache, i):
                 kw = dict(tome=tome)
+                if tome is not None:
+                    from controllora_tpu.ops.tome import step_key
+
+                    kw["tome_key"] = step_key(0, t, i)
                 if not deepcache:
                     return unet.apply({"params": up}, lat2, t, ctx, adapters,
                                       **kw), cache
@@ -224,49 +282,86 @@ def main():
 
         return jax.jit(sample)
 
-    def measure_serving(nimg: int, n: int = 6, tome=None, deepcache: int = 0) -> float:
+    # Section gating on OBSERVED compile cost: the tunnel compile service is too
+    # variable for constants (155-550 s for the same program across runs). The
+    # first section runs unconditionally; each later one requires time for the
+    # worst compile seen so far (x1.25) plus a runtime margin — cold runs get
+    # pessimistic gates, warm-cache runs (compile replay in seconds) run everything.
+    observed_compiles = []
+
+    def gate(name: str, optimistic: float, margin: float = 45.0) -> bool:
+        need = optimistic + margin
+        if observed_compiles:
+            need = max(need, 1.25 * max(observed_compiles) + margin)
+        if _time_left() < need:
+            log(f"skipping {name}: {_time_left():.0f}s left < {need:.0f}s needed")
+            return False
+        return True
+
+    def measure_serving(nimg: int, n: int = 6, tome=None, deepcache: int = 0,
+                        label: str = ""):
+        build_serving_params()
         fn = make_sampler(nimg, tome=tome, deepcache=deepcache)
         lat0 = jnp.zeros((nimg, 64, 64, 4), jnp.float32)
         ctx = jnp.zeros((2 * nimg, 77, 768), dtype)
+        args = (unet_params, vae_params, control_params, lat0, ctx, guide,
+                jnp.float32(9.0))
         t0 = time.time()
-        img, lat, chk = fn(unet_params, vae_params, control_params, lat0, ctx,
-                           guide, jnp.float32(9.0))
+        compiled = fn.lower(*args).compile()
+        flops = _compiled_flops(compiled)
+        img, lat, chk = compiled(*args)
         float(chk)
-        log(f"batch{nimg}: compile+first {time.time()-t0:.1f}s out {img.shape}")
+        ct = time.time() - t0
+        observed_compiles.append(ct)
+        log(f"{label or f'batch{nimg}'}: compile+first {ct:.1f}s out {img.shape} "
+            f"({flops/1e12:.1f} Tflop/program)")
         t0 = time.time()
         lat_in = lat0
         for _ in range(n):
-            img, lat, chk = fn(unet_params, vae_params, control_params,
-                               lat_in, ctx, guide, jnp.float32(9.0))
+            img, lat, chk = compiled(unet_params, vae_params, control_params,
+                                     lat_in, ctx, guide, jnp.float32(9.0))
             lat_in = lat  # chain: next call depends on this output (device-resident)
         float(chk)  # scalar fetch = execution fence
         dt = (time.time() - t0) / n
-        log(f"batch{nimg}: {dt*1000:.1f} ms -> {nimg/dt:.3f} img/s/chip")
-        return nimg / dt
+        mfu = flops / (dt * peak) if flops else 0.0
+        log(f"{label or f'batch{nimg}'}: {dt*1000:.1f} ms -> {nimg/dt:.3f} "
+            f"img/s/chip (MFU {mfu*100:.1f}%)")
+        return nimg / dt, mfu
 
-    # Conservative cold-compile cost estimates (round-2/3 measurements through the
-    # tunnel) used to gate each section on the time remaining.
-    EST_SERVE = 150.0   # ~125 s compile + warm-up + 6 chained calls
-    EST_TRAIN = 135.0
-    EST_CACHED = 110.0
+    def bump_headline(rate: float) -> None:
+        if rate > RESULT.get("value", 0.0):
+            RESULT["value"] = round(rate, 4)
+            RESULT["vs_baseline"] = round(rate / 2.0, 4)
 
-    # ---- headline first: serving batch 4 (the per-chip optimum, docs/BENCHMARKS.md)
-    nimgs = tuple(int(x) for x in os.environ.get("BENCH_NIMGS", "4,1").split(","))
-    results = {nimgs[0]: measure_serving(nimgs[0])}
-    RESULT["value"] = round(max(results.values()), 4)
-    RESULT["vs_baseline"] = round(RESULT["value"] / 2.0, 4)
-    RESULT[f"serving_batch{nimgs[0]}_imgs_per_sec"] = round(results[nimgs[0]], 4)
+    # ---- 1) serving batch 1 FIRST (cheapest compile observed: ~148 s cold vs
+    # 155-545 s for batch 4) — gets a real headline on the books immediately
+    nimgs = tuple(int(x) for x in os.environ.get("BENCH_NIMGS", "1,4").split(","))
+    rate, mfu = measure_serving(nimgs[0])
+    bump_headline(rate)
+    RESULT[f"serving_batch{nimgs[0]}_imgs_per_sec"] = round(rate, 4)
+    RESULT[f"serving_batch{nimgs[0]}_mfu"] = round(mfu, 4)
+    RESULT["serving_mfu"] = round(mfu, 4)
 
-    # free HBM for the training stack (rebuild_serving_params restores them later)
-    unet_params = vae_params = control_params = None
+    # ---- 2) remaining serving batches (batch 4 = the per-chip optimum)
+    for nimg in nimgs[1:]:
+        if not gate(f"serving batch{nimg}", 60.0):
+            continue
+        rate, mfu = measure_serving(nimg)
+        bump_headline(rate)
+        RESULT[f"serving_batch{nimg}_imgs_per_sec"] = round(rate, 4)
+        RESULT[f"serving_batch{nimg}_mfu"] = round(mfu, 4)
+        RESULT["serving_mfu"] = max(RESULT["serving_mfu"], round(mfu, 4))
 
-    # ---- training metric (BASELINE secondary target): fused train step at 512^2,
-    # best measured config (no remat, bf16 hint compute), encode-per-step.
+    # ---- 3) training metric (BASELINE secondary target): fused train step at
+    # 512^2, best measured config (no remat, bf16 hint compute), encode-per-step.
     from controllora_tpu.models import zoo
     from controllora_tpu.training.trainer import ControlLoRATrainer, make_optimizer
 
     tb = 8
-    if _time_left() >= EST_TRAIN:
+    trainer = step_fn = tstate = None
+    if gate("training section", 70.0) and os.environ.get("BENCH_TRAIN", "1") != "0":
+        # free HBM for the training stack (build_serving_params restores later)
+        unet_params = vae_params = control_params = None
         t_unet, t_vae, t_text = zoo.build_models("sd15", dtype=dtype)
         t_frozen = zoo.zeros_frozen(t_unet, t_vae, t_text, latent_size=64,
                                     param_dtype=dtype)
@@ -276,111 +371,90 @@ def main():
             optimizer=make_optimizer(), remat_unet=False,
         )
         tstate = trainer.init_state(jax.random.PRNGKey(1), image_size=512)
+        step_fn = trainer.make_train_step()
+        rng = jax.random.PRNGKey(2)
+        rngs = [jax.block_until_ready(jax.random.fold_in(rng, i)) for i in range(6)]
+
+        def measure_train(batch, tag: str, bsz: int):
+            nonlocal tstate
+            t0 = time.time()
+            lowered = step_fn.lower(tstate, batch, rng).compile()
+            tflops = _compiled_flops(lowered)
+            tstate, m = step_fn(tstate, batch, rng)
+            float(m["loss"])  # scalar fetch = execution fence (see serving note)
+            ct = time.time() - t0
+            observed_compiles.append(ct)
+            log(f"train{tag}: compile+first {ct:.1f}s ({tflops/1e12:.1f} Tflop/step)")
+            t0 = time.time()
+            for i in range(6):
+                tstate, m = step_fn(tstate, batch, rngs[i])  # state-chained
+            float(m["loss"])
+            dt = (time.time() - t0) / 6
+            mfu = tflops / (dt * peak) if tflops else 0.0
+            log(f"train{tag}: {dt*1000:.1f} ms/step -> {1/dt:.2f} steps/s "
+                f"({bsz/dt:.1f} img/s, MFU {mfu*100:.1f}%)")
+            return 1.0 / dt, bsz / dt, mfu
+
         batch = {
             "pixel_values": jnp.zeros((tb, 512, 512, 3), jnp.float32),
             "guide_values": jnp.zeros((tb, 512, 512, 3), jnp.float32),
             "input_ids": jnp.zeros((tb, 77), jnp.int32),
         }
-        step_fn = trainer.make_train_step()
-        rng = jax.random.PRNGKey(2)
-        t0 = time.time()
-        tstate, m = step_fn(tstate, batch, rng)
-        float(m["loss"])  # scalar fetch = execution fence (see serving note above)
-        log(f"train: compile+first {time.time()-t0:.1f}s")
-        rngs = [jax.block_until_ready(jax.random.fold_in(rng, i)) for i in range(6)]
-        t0 = time.time()
-        for i in range(6):
-            tstate, m = step_fn(tstate, batch, rngs[i])  # state-chained: serializes
-        float(m["loss"])
-        tdt = (time.time() - t0) / 6
-        log(f"train: {tdt*1000:.1f} ms/step -> {1/tdt:.2f} steps/s ({tb/tdt:.1f} img/s)")
-        RESULT["train_steps_per_sec_chip"] = round(1.0 / tdt, 3)
-        RESULT["train_imgs_per_sec_chip"] = round(tb / tdt, 2)
+        sps, ips, mfu = measure_train(batch, "", tb)
+        RESULT["train_steps_per_sec_chip"] = round(sps, 3)
+        RESULT["train_imgs_per_sec_chip"] = round(ips, 2)
         RESULT["train_batch"] = tb
+        RESULT["train_mfu"] = round(mfu, 4)
         # ratio vs the ANCHOR (A100 steps/s); the BASELINE target is 3.0x
-        RESULT["train_vs_baseline"] = round((1.0 / tdt) / anchor, 3)
+        RESULT["train_vs_baseline"] = round(sps / anchor, 3)
 
-        # cached-latents config (--cache_latents): precomputed VAE posterior moments
-        # replace the per-step encode — the deterministic-dataset fast path
-        if _time_left() >= EST_CACHED:
+        # cached-latents config (--cache_latents): precomputed VAE posterior
+        # moments replace the per-step encode — deterministic-dataset fast path
+        if gate("cached-train", 50.0):
             cbatch = {
                 "latent_mean": jnp.zeros((tb, 64, 64, 4), jnp.float32),
                 "latent_logvar": jnp.zeros((tb, 64, 64, 4), jnp.float32),
                 "guide_values": batch["guide_values"],
                 "input_ids": batch["input_ids"],
             }
-            t0 = time.time()
-            tstate, m = step_fn(tstate, cbatch, rng)
-            float(m["loss"])
-            log(f"train(cached): compile+first {time.time()-t0:.1f}s")
-            t0 = time.time()
-            for i in range(6):
-                tstate, m = step_fn(tstate, cbatch, rngs[i])
-            float(m["loss"])
-            cdt = (time.time() - t0) / 6
-            log(f"train(cached): {cdt*1000:.1f} ms/step -> {1/cdt:.2f} steps/s "
-                f"({tb/cdt:.1f} img/s)")
-            RESULT["train_cached_steps_per_sec_chip"] = round(1.0 / cdt, 3)
-            RESULT["train_cached_imgs_per_sec_chip"] = round(tb / cdt, 2)
-        else:
-            log(f"skipping cached-train: {_time_left():.0f}s left < {EST_CACHED}")
+            sps, ips, mfu = measure_train(cbatch, "(cached)", tb)
+            RESULT["train_cached_steps_per_sec_chip"] = round(sps, 3)
+            RESULT["train_cached_imgs_per_sec_chip"] = round(ips, 2)
+            RESULT["train_cached_mfu"] = round(mfu, 4)
+
+        # reference-default batch 16 (train_text_to_image_control_lora.py:188):
+        # the better-MFU configuration for throughput-oriented training
+        if gate("train b16", 80.0) and os.environ.get("BENCH_TRAIN_B16", "1") != "0":
+            b16 = {
+                "pixel_values": jnp.zeros((16, 512, 512, 3), jnp.float32),
+                "guide_values": jnp.zeros((16, 512, 512, 3), jnp.float32),
+                "input_ids": jnp.zeros((16, 77), jnp.int32),
+            }
+            sps, ips, mfu = measure_train(b16, "(b16)", 16)
+            RESULT["train_b16_steps_per_sec_chip"] = round(sps, 3)
+            RESULT["train_b16_imgs_per_sec_chip"] = round(ips, 2)
+            RESULT["train_b16_mfu"] = round(mfu, 4)
         del tstate, trainer, t_frozen
-    else:
-        log(f"skipping training section: {_time_left():.0f}s left < {EST_TRAIN}")
+        tstate = trainer = None
 
-    def rebuild_serving_params():
-        # rebuild the serving params (freed above for training HBM) — eval_shape
-        # zero-fill, seconds not minutes
-        nonlocal unet_params, vae_params, control_params
-        if unet_params is not None:
-            return
-        unet_params = zeros_params(
-            lambda k: unet.init(k, latents0, jnp.zeros((1,), jnp.int32),
-                                ctx2[:1])["params"],
-            jax.random.PRNGKey(0), dtype=dtype,
-        )
-        vae_params = zeros_params(
-            lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3)))["params"],
-            jax.random.PRNGKey(1), dtype=dtype,
-        )
-        control_params = zeros_params(
-            lambda k: control._init_impl(k, 512), jax.random.PRNGKey(2),
-        )
-
-    # ---- opt-in accelerated serving configs, reported SEPARATELY — the headline
-    # above stays exact. tome50 = token merging alone (ops/tome.py, the published
-    # 512² sweet spot); turbo = tome 0.5 + DeepCache interval 2 (deep UNet levels
-    # every other step), the max-speed deployment preset (scripts/serve.py flags).
-    if _time_left() >= EST_SERVE and os.environ.get("BENCH_TOME", "1") != "0":
+    # ---- 4) opt-in accelerated serving configs, reported SEPARATELY — the
+    # headline above stays exact. tome50 = token merging alone (ops/tome.py, the
+    # published 512² sweet spot); turbo = tome 0.5 + DeepCache interval 2 (deep
+    # UNet levels every other step), the max-speed deployment preset
+    # (scripts/serve.py --preset turbo).
+    bn = nimgs[-1]
+    if gate("tome section", 60.0) and os.environ.get("BENCH_TOME", "1") != "0":
         from controllora_tpu.ops.tome import ToMeConfig
 
-        rebuild_serving_params()
-        tome_rate = measure_serving(nimgs[0], tome=ToMeConfig(ratio=0.5))
-        RESULT["serving_tome50_imgs_per_sec"] = round(tome_rate, 4)
-    else:
-        log(f"skipping tome section: {_time_left():.0f}s left < {EST_SERVE}")
-    if _time_left() >= EST_SERVE and os.environ.get("BENCH_TURBO", "1") != "0":
+        rate, mfu = measure_serving(bn, tome=ToMeConfig(ratio=0.5),
+                                    label=f"tome50 b{bn}")
+        RESULT["serving_tome50_imgs_per_sec"] = round(rate, 4)
+    if gate("turbo section", 60.0) and os.environ.get("BENCH_TURBO", "1") != "0":
         from controllora_tpu.ops.tome import ToMeConfig
 
-        rebuild_serving_params()
-        turbo_rate = measure_serving(nimgs[0], tome=ToMeConfig(ratio=0.5),
-                                     deepcache=2)
-        RESULT["serving_turbo_imgs_per_sec"] = round(turbo_rate, 4)
-    else:
-        log(f"skipping turbo section: {_time_left():.0f}s left < {EST_SERVE}")
-
-    # ---- secondary serving batches (app latency config), budget permitting
-    for nimg in nimgs[1:]:
-        if nimg in results:
-            continue
-        if _time_left() < EST_SERVE:
-            log(f"skipping serving batch{nimg}: {_time_left():.0f}s left < {EST_SERVE}")
-            continue
-        rebuild_serving_params()
-        results[nimg] = measure_serving(nimg)
-        RESULT["value"] = round(max(results.values()), 4)
-        RESULT["vs_baseline"] = round(RESULT["value"] / 2.0, 4)
-        RESULT[f"serving_batch{nimg}_imgs_per_sec"] = round(results[nimg], 4)
+        rate, mfu = measure_serving(bn, tome=ToMeConfig(ratio=0.5), deepcache=2,
+                                    label=f"turbo b{bn}")
+        RESULT["serving_turbo_imgs_per_sec"] = round(rate, 4)
 
     emit_and_flush()
 

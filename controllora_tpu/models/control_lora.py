@@ -166,12 +166,20 @@ def adapter_spec_for(cfg: ControlLoRAConfig, bucket: int) -> AdapterSpec:
             value_skipped=True,
             output_skipped=False,
         )
-    explicit_channels = cfg.lora_control_channels[bucket] is not None
     return AdapterSpec(
         kind="control_v1",
         post_add=cfg.lora_post_add,
         concat_hidden=cfg.lora_concat_hidden,
-        control_self_add=cfg.lora_control_self_add and not explicit_channels,
+        # Reference QUIRK, pinned by the executed parity suite
+        # (tests/test_reference_parity.py): the v1 constructor reassigns its
+        # `control_channels` local to a non-None value BEFORE the
+        # `control_self_add if control_channels is None else False` test
+        # (reference models.py:256-259 in-class lines — models.py:166-170 of the
+        # constructor body), so every processor the reference ever builds has
+        # self-add OFF, whatever the config says. Matching the executed behavior
+        # (not the apparent intent) is what makes reference-trained checkpoints
+        # reproduce. The AdapterSpec flag itself still works for opt-in use.
+        control_self_add=False,
         key_skipped=cfg.lora_key_states_skipped,
         value_skipped=cfg.lora_value_states_skipped,
         output_skipped=cfg.lora_output_states_skipped,

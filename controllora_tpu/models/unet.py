@@ -464,6 +464,15 @@ class Transformer2DModel(nn.Module):
         from controllora_tpu.ops.tome import maybe_tome
 
         block_tome = tome if maybe_tome(tome, hh, ww) else None
+        if block_tome is not None and tome_key is None:
+            # the UNet entry point always derives a key (unet.py __call__); a
+            # direct caller that forgot one would otherwise crash deep inside
+            # fold_in with an opaque TypeError
+            raise ValueError(
+                "Transformer2DModel: tome is active but tome_key is None — pass "
+                "tome_key=ops.tome.step_key(seed, timestep) (the UNet entry point "
+                "derives one automatically)"
+            )
         if block_tome is not None:
             # distinct (but deterministic) dst grids per module, like tomesd's
             # advancing generator; crc32 of the layer path is process-stable

@@ -245,7 +245,15 @@ def zeros_params(init_fn, *args, dtype=None, **kwargs) -> Any:
     shapes = jax.eval_shape(init_fn, *args, **kwargs)
 
     def fill():
-        return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype or s.dtype), shapes)
+        # cast only floating leaves (like the trainers' cast_tree): an integer or
+        # bool param leaf must keep its dtype, not be corrupted to e.g. bfloat16
+        return jax.tree.map(
+            lambda s: jnp.zeros(
+                s.shape,
+                dtype if (dtype and jnp.issubdtype(s.dtype, jnp.floating)) else s.dtype,
+            ),
+            shapes,
+        )
 
     return jax.jit(fill)()
 

@@ -137,11 +137,18 @@ def build_merge(
     return merge, unmerge, L - r
 
 
-def step_key(seed: int, timestep: jnp.ndarray) -> jax.Array:
+def step_key(seed: int, timestep: jnp.ndarray, index=None) -> jax.Array:
     """Per-denoising-step merge randomness (tomesd draws a fresh generator sample
-    per call; varying the dst grid across steps averages out merge artifacts)."""
+    per call; varying the dst grid across steps averages out merge artifacts).
+
+    `index` (the sampler's scan step, when the caller has one) is folded in on top
+    of the timestep: float timestep grids can round two adjacent steps to the same
+    int32, which would silently reuse one merge grid and weaken the averaging."""
     t = jnp.asarray(timestep).reshape(-1)[0].astype(jnp.int32)
-    return jax.random.fold_in(jax.random.PRNGKey(seed), t)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), t)
+    if index is not None:
+        key = jax.random.fold_in(key, jnp.asarray(index).astype(jnp.int32))
+    return key
 
 
 def maybe_tome(

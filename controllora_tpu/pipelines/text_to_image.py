@@ -395,6 +395,12 @@ class StableDiffusionControlLoRAPipeline:
                 ops per models/unet.py deepcache docstring) and `cache` carries
                 the deep feature between steps."""
                 kw = dict(tome=tome, **added_kwargs(m))
+                if tome is not None:
+                    # fold the scan index into the merge key: adjacent float
+                    # timesteps can round to the same int32 (ops/tome.step_key)
+                    from controllora_tpu.ops.tome import step_key
+
+                    kw["tome_key"] = step_key(0, t, i)
 
                 def call(**dkw):
                     return unet_mod.apply(

@@ -137,9 +137,13 @@ class BatchingEngine:
         ))
         # Data-parallel meshes accept only a single replicated guide per batched
         # call, so guided requests coalesce by guide IDENTITY: the fingerprint
-        # joins the group key and _run passes one shared (H, W, 3) guide.
+        # joins the group key and _run passes one shared (H, W, 3) guide. A
+        # cryptographic digest — a 64-bit Python hash collision would silently
+        # render a colliding request with the wrong conditioning image.
         if self._data_axis > 1 and req.guide is not None:
-            req._guide_fp = hash(req.guide.tobytes())
+            import hashlib
+
+            req._guide_fp = hashlib.sha256(req.guide.tobytes()).digest()
         req._future = Future()
         self._q.put(req)
         return req._future
