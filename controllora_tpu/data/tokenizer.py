@@ -65,12 +65,22 @@ class CLIPBPETokenizer:
     (matching CLIPTokenizer(padding='max_length', truncation=True) as the reference
     calls it, train:575-580)."""
 
-    PAT = re.compile(
-        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-        if False
-        else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-        re.IGNORECASE,
-    )
+    # Canonical CLIP pre-tokenizer (openai/CLIP simple_tokenizer; HF CLIPTokenizer
+    # `self.pat`). \p{L}/\p{N} need the `regex` module; without it, an ASCII
+    # approximation (splits runs of non-ASCII letters differently — fine for the
+    # hermetic HashTokenizer-era workloads, wrong for accented prompts).
+    try:
+        import regex as _regex
+
+        PAT = _regex.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+            _regex.IGNORECASE,
+        )
+    except ImportError:  # pragma: no cover - regex is installed in this container
+        PAT = re.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+            re.IGNORECASE,
+        )
 
     def __init__(self, vocab: Dict[str, int], merges: List[tuple], max_length: int = 77):
         self.encoder = dict(vocab)
@@ -156,7 +166,7 @@ class CLIPBPETokenizer:
     def encode_text(self, text: str) -> List[int]:
         ids: List[int] = []
         text = whitespace_clean(basic_clean(text)).lower()
-        for token in re.findall(self.PAT, text):
+        for token in self.PAT.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self.bpe(token).split(" "))
         return ids

@@ -57,13 +57,27 @@ def parse_args(argv=None):
                         "(guided AND unguided programs when a ControlLoRA is loaded)")
     p.add_argument("--result_timeout_s", type=float, default=600.0,
                    help="per-request cap on waiting for the engine; 504 past it")
-    p.add_argument("--tome_ratio", type=float, default=0.0,
+    p.add_argument("--preset", type=str, default="exact",
+                   choices=("exact", "tome", "turbo"),
+                   help="speed/quality preset (docs/BENCHMARKS.md 'accelerated "
+                        "presets', TPU-measured): exact = bitwise-faithful "
+                        "sampler; tome = token merging 0.5 (+7%% at 512^2 b4); "
+                        "turbo = ToMe 0.5 + DeepCache interval 2 (+37%%). "
+                        "Explicit --tome_ratio/--deepcache_interval override "
+                        "the preset's value")
+    p.add_argument("--tome_ratio", type=float, default=None,
                    help="deployment-wide token merging (0 = exact; 0.5 = "
                         "published sweet spot) applied to every batch")
-    p.add_argument("--deepcache_interval", type=int, default=1,
+    p.add_argument("--deepcache_interval", type=int, default=None,
                    help="deployment-wide DeepCache interval (1 = exact; 2-3 = "
                         "published speed/quality range) applied to every batch")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    preset = {"exact": (0.0, 1), "tome": (0.5, 1), "turbo": (0.5, 2)}[args.preset]
+    if args.tome_ratio is None:
+        args.tome_ratio = preset[0]
+    if args.deepcache_interval is None:
+        args.deepcache_interval = preset[1]
+    return args
 
 
 def build_pipeline(args):

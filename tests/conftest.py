@@ -39,3 +39,55 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ---------------------------------------------------------------------------- tiering
+# Two-tier suite (round 5): the full suite is compile-dominated and takes >40 min on a
+# cold cache — far past what a fresh container (or a rescheduled one, whose
+# host-fingerprinted cache is necessarily cold) can wait for a signal. Modules listed
+# here are marked `slow` at collection; the quick tier is
+#     python -m pytest tests/ -m "not slow" -q        (cold target: <10 min)
+# and CI/driver runs the full suite only when the budget allows:
+#     python -m pytest tests/ -q
+# The list is curated by measured cold-compile cost, not guessed: everything that jits
+# a full UNet/pipeline/train-step program or spawns fresh-JAX subprocesses.
+SLOW_MODULES = {
+    "test_pipeline",            # full guided-sampling pipeline jits
+    "test_training",            # fused train-step compiles (512^2 programs)
+    "test_tp_serving",          # tensor-parallel mesh pipeline compiles
+    "test_entry",               # fresh-JAX subprocess per test (__graft_entry__)
+    "test_models",              # full UNet/VAE forward compiles
+    "test_cli_e2e",             # train->kill->resume->sample subprocess runs
+    "test_sdxl",                # SDXL-scale UNet + dual text towers
+    "test_sdxl_mesh",           # SDXL over the 8-device mesh
+    "test_sd2",                 # SD2-scale UNet
+    "test_refiner",             # two-stage refiner renders
+    "test_img2img",             # img2img/hires-fix pipeline jits
+    "test_distributed",         # 2-process DCN rendezvous (fresh JAX subprocesses)
+    "test_reference_parity",    # runs the reference torch models end-to-end
+    # measured round 5 (--durations on the tier): each of these pays 30-100 s of
+    # pipeline-grade compiles even WARM — they exercise full sampler programs
+    # (engine/batch/webui), fold whole adapter stacks into UNet kernels, or
+    # round-trip full param trees; the ops/adapter math they build on stays in
+    # the quick tier via test_tome/test_deepcache unit tests, test_lora,
+    # test_pallas_attention*, and test_schedulers.
+    "test_batch_serving",       # mixed-batch sampler programs (+ mesh variants)
+    "test_serving_engine",      # engine render paths over real pipelines
+    "test_apps_webui",          # HTTP server over a live pipeline
+    "test_folding",             # folded-vs-unfolded full UNet compiles
+    "test_zoo",                 # full frozen-stack build/load round-trips
+    "test_torch_compat",        # full-tree torch<->flax round-trips
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        # test_tome / test_deepcache mix op-level algebra (quick) with full
+        # guided-pipeline renders; the latter all draw the module-scoped `pipe`
+        # fixture — mark exactly those slow so the ToMe/DeepCache unit signal
+        # stays in the quick tier.
+        elif "pipe" in getattr(item, "fixturenames", ()):
+            item.add_marker(pytest.mark.slow)
