@@ -146,6 +146,7 @@ class ControlLoRATrainer:
         snr_gamma: Optional[float] = None,
         remat_unet: bool = True,
         remat_policy: str = "dots",
+        adapter_compute_dtype: Optional[Any] = None,
     ):
         self.control_lora = control_lora
         self.unet = unet
@@ -157,6 +158,16 @@ class ControlLoRATrainer:
         self.mesh = mesh
         self.remat_unet = remat_unet
         self.remat_policy = remat_policy
+        # Mixed-precision adapter COMPUTE (master params + optimizer state stay
+        # fp32): the adapters pytree threaded into the UNet is cast to this dtype,
+        # so every lora/control matmul (lora_apply runs in the params' dtype) and
+        # the injected control maps hit the MXU in bf16 like the frozen stack,
+        # instead of fp32 at 1/4 peak. Gradients flow through the cast back to the
+        # fp32 masters — the standard mixed-precision recipe, one rounding per
+        # step. The reference's analog is fp16 autocast over the frozen stack with
+        # fp32 adapters (train:437-447); this goes one step further and is OFF by
+        # default for exact parity with that policy.
+        self.adapter_compute_dtype = adapter_compute_dtype
         if prediction_type is not None:
             # --prediction_type override (reference train:761-765 via scheduler config)
             self.scheduler = DDPMScheduler(
@@ -211,6 +222,13 @@ class ControlLoRATrainer:
         )
 
         adapters = self.control_lora(params, batch["guide_values"], self.unet.config)
+        if self.adapter_compute_dtype is not None:
+            cd = self.adapter_compute_dtype
+            adapters = jax.tree.map(
+                lambda x: x.astype(cd)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                adapters,
+            )
 
         unet_apply = self.unet.apply
         if self.remat_unet:

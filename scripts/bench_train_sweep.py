@@ -56,6 +56,15 @@ def main(batch_size=8, steps=6):
          jnp.bfloat16, False),
         ("noremat_hint-bf16_cached-latents_adam8bit",
          dict(remat_unet=False, use_8bit=True), jnp.bfloat16, True),
+        # VERDICT r4 #3: bf16 adapter COMPUTE over fp32 masters
+        # (--adapter_compute_bf16): every lora/control matmul joins the frozen
+        # stack on the bf16 MXU path instead of fp32 at quarter rate
+        ("noremat_hint-bf16_adapter-bf16",
+         dict(remat_unet=False, adapter_compute_dtype=jnp.bfloat16),
+         jnp.bfloat16, False),
+        ("noremat_hint-bf16_cached-latents_adapter-bf16",
+         dict(remat_unet=False, adapter_compute_dtype=jnp.bfloat16),
+         jnp.bfloat16, True),
     ]
     only = os.environ.get("SWEEP_ONLY", "")
     for name, kw, hdt, use_latents in variants:

@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "bf16"],
                    help="compute/frozen-weight dtype (adapters always fp32)")
+    p.add_argument("--adapter_compute_bf16", action="store_true",
+                   help="cast the adapter pytree to bf16 for the forward/backward "
+                        "(fp32 master params + optimizer state). Beyond-reference "
+                        "mixed-precision mode — measured in docs/BENCHMARKS.md")
     p.add_argument("--prediction_type", type=str, default=None)
     p.add_argument("--snr_gamma", type=float, default=None)
     # data
@@ -263,6 +267,7 @@ def main(argv=None):
         snr_gamma=args.snr_gamma,
         remat_unet=args.gradient_checkpointing,
         remat_policy=args.remat_policy,
+        adapter_compute_dtype=jnp.bfloat16 if args.adapter_compute_bf16 else None,
     )
 
     # ---- state (+ resume) — restored BEFORE the data iterator exists so the stream

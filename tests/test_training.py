@@ -77,6 +77,37 @@ def test_train_step_decreases_loss():
     assert all(np.isfinite(losses))
 
 
+def test_adapter_compute_bf16_trains_and_tracks_fp32():
+    """--adapter_compute_bf16: bf16 adapter compute over fp32 masters must still
+    learn (loss decreases), keep masters + optimizer state fp32, and track the
+    fp32-compute trajectory closely over a few steps (one bf16 rounding per
+    matmul per step, not divergence)."""
+    batch = make_batch(2)
+    rng = jax.random.PRNGKey(42)
+
+    def run(adapter_compute_dtype, n=12):
+        trainer = make_tiny_trainer(lr=2e-3)
+        trainer.adapter_compute_dtype = adapter_compute_dtype
+        state = trainer.init_state(jax.random.PRNGKey(0), image_size=64)
+        step = trainer.make_train_step()
+        losses = []
+        for _ in range(n):
+            state, metrics = step(state, batch, rng)
+            losses.append(float(metrics["loss"]))
+        return state, losses
+
+    state_bf16, losses_bf16 = run(jnp.bfloat16)
+    _, losses_fp32 = run(None)
+    assert np.mean(losses_bf16[-3:]) < np.mean(losses_bf16[:3]) * 0.99, losses_bf16
+    # master params and moments stay fp32 — only the threaded compute is cast
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state_bf16.params))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state_bf16.opt_state)
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    np.testing.assert_allclose(losses_bf16, losses_fp32, rtol=0.05)
+
+
 def test_train_step_sharded_8dev():
     """Data-parallel over the virtual 8-device CPU mesh (SURVEY.md §4 test strategy)."""
     assert len(jax.devices()) == 8
