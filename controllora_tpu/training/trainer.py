@@ -179,8 +179,15 @@ class ControlLoRATrainer:
 
     def init_state(self, rng: jax.Array, image_size: int = 512) -> TrainState:
         params = self.control_lora.init(rng, image_size=image_size)
-        opt_state = self.optimizer.init(params)
-        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+        def _mk(params):
+            # one compiled program for the whole optimizer-state build — eager
+            # optax init is hundreds of small dispatches (each a round trip on
+            # remote-dispatch TPU runtimes)
+            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              opt_state=self.optimizer.init(params))
+
+        return jax.jit(_mk)(params)
 
     # ------------------------------------------------------------------ loss
 
@@ -297,7 +304,17 @@ class ControlLoRATrainer:
             )
         else:
             jitted = jax.jit(step_fn, donate_argnums=(0,))
-        return lambda state, batch, rng: jitted(state, self.frozen, batch, rng)
+
+        def wrapper(state, batch, rng):
+            return jitted(state, self.frozen, batch, rng)
+
+        # AOT surface for benchmarking (bench.py AOT-compiles to time the compile
+        # separately and read cost_analysis): thread the frozen stack exactly as
+        # the call path does.
+        wrapper.lower = lambda state, batch, rng: jitted.lower(
+            state, self.frozen, batch, rng
+        )
+        return wrapper
 
     def make_eval_step(self) -> Callable:
         def eval_fn(state: TrainState, frozen, batch, rng):
